@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+All tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). Environment must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: this box has one CPU core, so re-compiling every
+# eager op per pytest process dominates test time without this.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
