@@ -54,6 +54,30 @@ def fk_model_transforms(parent: np.ndarray, local: np.ndarray) -> np.ndarray:
     return model
 
 
+def quat_from_mat(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix (3x3 block of 4x4) -> quaternion (x, y, z, w), host-side."""
+    m = np.asarray(m, np.float64)
+    r = m[:3, :3]
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([(r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s,
+                      (r[1, 0] - r[0, 1]) / s, 0.25 * s])
+    elif r[0, 0] > r[1, 1] and r[0, 0] > r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2
+        q = np.array([0.25 * s, (r[0, 1] + r[1, 0]) / s,
+                      (r[0, 2] + r[2, 0]) / s, (r[2, 1] - r[1, 2]) / s])
+    elif r[1, 1] > r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2
+        q = np.array([(r[0, 1] + r[1, 0]) / s, 0.25 * s,
+                      (r[1, 2] + r[2, 1]) / s, (r[0, 2] - r[2, 0]) / s])
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2
+        q = np.array([(r[0, 2] + r[2, 0]) / s, (r[1, 2] + r[2, 1]) / s,
+                      0.25 * s, (r[1, 0] - r[0, 1]) / s])
+    return (q / np.linalg.norm(q)).astype(np.float32)
+
+
 def topological_levels(parent: np.ndarray) -> list[np.ndarray]:
     """Group bone indices by depth for level-parallel FK on TPU."""
     n = len(parent)

@@ -319,6 +319,28 @@ def mat4_from_quat(q):
     return m.at[..., :3, :3].set(r)
 
 
+def quat_from_euler_xyz_degrees(deg):
+    """Quaternion of the Euler XYZ rotation ``Rz @ Ry @ Rx`` (see
+    rotation_xyz_degrees), composed analytically: ``qz * qy * qx``.
+
+    ``deg`` shape (..., 3). Equals ``quat_from_mat4(rotation_xyz_degrees(deg))``
+    up to sign.
+    """
+    half = radians_from_degrees(jnp.asarray(deg, jnp.float32)) * 0.5
+    cx, cy, cz = jnp.cos(half[..., 0]), jnp.cos(half[..., 1]), jnp.cos(half[..., 2])
+    sx, sy, sz = jnp.sin(half[..., 0]), jnp.sin(half[..., 1]), jnp.sin(half[..., 2])
+    # qz * qy * qx expanded (x, y, z, w):
+    return jnp.stack(
+        [
+            cz * cy * sx - sz * sy * cx,
+            cz * sy * cx + sz * cy * sx,
+            sz * cy * cx - cz * sy * sx,
+            cz * cy * cx + sz * sy * sx,
+        ],
+        axis=-1,
+    )
+
+
 def quat_slerp(q0, q1, t):
     """Shortest-arc slerp with nlerp fallback for nearly-parallel inputs.
 
