@@ -18,3 +18,11 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# TPU matmul precision: geometry pipelines (matrix inverses, ray transforms,
+# FK palettes) are not robust to bf16 matmul accumulation, which is JAX's
+# default for f32 on TPU. The engine requires true f32 matmuls; kernels that
+# genuinely want bf16 opt in with an explicit `preferred_element_type`.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -50,10 +50,16 @@ def skin_vertices(dense_weights, palette, positions, normals=None, tangents=None
     rot = mats[..., :3, :3]
     pos = jnp.einsum("...vij,vj->...vi", rot, positions) + mats[..., :3, 3]
     out = {"positions": pos}
+
+    def unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
     if normals is not None:
-        out["normals"] = jnp.einsum("...vij,vj->...vi", rot, normals)
+        # Reference skinningKernel normalizes skinned normals/tangents
+        # (RayTracing.metalinc:768, 775).
+        out["normals"] = unit(jnp.einsum("...vij,vj->...vi", rot, normals))
     if tangents is not None:
-        txyz = jnp.einsum("...vij,vj->...vi", rot, tangents[..., :3])
+        txyz = unit(jnp.einsum("...vij,vj->...vi", rot, tangents[..., :3]))
         out["tangents"] = jnp.concatenate(
             [txyz, jnp.broadcast_to(tangents[..., 3:], txyz[..., :1].shape)], axis=-1)
     return out

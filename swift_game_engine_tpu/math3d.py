@@ -108,6 +108,24 @@ def mat4_perspective_rh(fovy_radians, aspect, near, far):
     return m
 
 
+def mat4_perspective_rh_inverse(fovy_radians, aspect, near, far):
+    """Closed-form inverse of mat4_perspective_rh.
+
+    jnp.linalg.inv on the forward matrix suffers catastrophic cancellation at
+    the far plane in f32; the analytic inverse is exact.
+    """
+    ys = 1.0 / jnp.tan(jnp.asarray(fovy_radians, jnp.float32) * 0.5)
+    xs = ys / aspect
+    zs = far / (near - far)
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, 0].set(1.0 / xs)
+    m = m.at[1, 1].set(1.0 / ys)
+    m = m.at[2, 3].set(-1.0)
+    m = m.at[3, 2].set(1.0 / (zs * near))
+    m = m.at[3, 3].set(1.0 / near)
+    return m
+
+
 def mat4_look_at_rh(eye, center, up):
     """reference: Game/Math.swift:52-66."""
     eye = jnp.asarray(eye, jnp.float32)

@@ -1,0 +1,71 @@
+"""Camera: RH look-at view + Metal-style perspective, large-world anchor.
+
+reference: Game/Camera.swift:10-56 (fov 65 deg, near 0.1, far 100, view from
+position/target/up) + the chunk/local world anchor used by the extractor for
+camera-relative rendering (Components.swift:96-104).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import math3d as m3
+
+
+@dataclass
+class Camera:
+    fov_degrees: float = 65.0
+    near_z: float = 0.1
+    far_z: float = 100.0
+    position: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 8.0], np.float32))
+    target: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    up: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0], np.float32))
+    world_chunk: np.ndarray = field(default_factory=lambda: np.zeros(3, np.int64))
+    world_local: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float64))
+
+    def projection(self, width: float, height: float):
+        aspect = max(width / max(height, 1.0), 1e-4)
+        return m3.mat4_perspective_rh(m3.radians_from_degrees(self.fov_degrees),
+                                      aspect, self.near_z, self.far_z)
+
+    def view(self):
+        return m3.mat4_look_at_rh(jnp.asarray(self.position, jnp.float32),
+                                  jnp.asarray(self.target, jnp.float32),
+                                  jnp.asarray(self.up, jnp.float32))
+
+    def inv_view_proj(self, width: float, height: float):
+        """inv(P @ V) = rigidInv(V) @ analyticInv(P) — exact in f32 (a
+        numeric inverse cancels catastrophically at the far plane)."""
+        aspect = max(width / max(height, 1.0), 1e-4)
+        inv_p = m3.mat4_perspective_rh_inverse(
+            m3.radians_from_degrees(self.fov_degrees), aspect, self.near_z, self.far_z)
+        inv_v = m3.mat4_inverse_rigid(self.view())
+        return inv_v @ inv_p
+
+    @property
+    def world_position(self) -> np.ndarray:
+        """f64 world-space camera position (chunk*512 + local)."""
+        return self.world_chunk.astype(np.float64) * 512.0 + self.world_local
+
+
+def generate_rays(inv_view_proj, camera_position, width: int, height: int):
+    """Primary rays: per-pixel NDC through invViewProj
+    (reference: RayTracing.metalinc:225-229).
+
+    Returns (origins (H*W,3), directions (H*W,3)).
+    """
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    ndc_x = xs * 2.0 - 1.0
+    ndc_y = (1.0 - ys) * 2.0 - 1.0
+    gx, gy = jnp.meshgrid(ndc_x, ndc_y)  # (H,W)
+    clip = jnp.stack([gx, gy, jnp.ones_like(gx), jnp.ones_like(gx)], axis=-1)
+    world = jnp.einsum("ij,hwj->hwi", inv_view_proj, clip)
+    p = world[..., :3] / world[..., 3:4]
+    cam = jnp.asarray(camera_position, jnp.float32)
+    d = m3.normalize(p - cam)
+    o = jnp.broadcast_to(cam, d.shape)
+    return o.reshape(-1, 3), d.reshape(-1, 3)

@@ -1,0 +1,289 @@
+"""Render geometry: pack scene items into flat device arrays per frame.
+
+The reference packs RenderItems into big static/dynamic SoA buffers with
+per-instance info + a texture slot registry, GPU-skins the dynamic verts and
+(re)builds Metal acceleration structures (reference:
+Game/RTGeometryCache.swift:54-577, Game/RTAccelerationBuilder.swift:10-247,
+Game/RenderItem.swift:10-28). On TPU:
+
+  * Geometry is packed ONCE at scene build: one vertex pool
+    [static-instanced verts | skinned verts], one index pool, per-triangle
+    material ids, a flat material table, and a fixed-size texture bank.
+  * Per frame, a single jitted `flatten_frame` produces world-space vertex
+    arrays: static verts gather their instance transform; skinned verts are
+    produced by the dense-matmul LBS (anim.skinning) and then instanced.
+  * One global BVH (render.bvh) is host-built over the bind/build pose and
+    device-refit every frame — subsuming BLAS refit + TLAS rebuild.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assets.mesh_api import MeshDescriptor, compute_tangents
+from ..assets.materials import Material
+from ..assets.procedural_textures import flat_normal
+from ..anim.skinning import skin_vertices
+from . import bvh as B
+from .textures import TextureBank, TextureBankBuilder
+
+
+class MaterialTable(NamedTuple):
+    """Flat PBR material arrays (K materials)."""
+
+    base_color: jnp.ndarray       # (K,3)
+    metallic: jnp.ndarray         # (K,)
+    roughness: jnp.ndarray        # (K,)
+    emissive: jnp.ndarray         # (K,3)
+    occlusion_strength: jnp.ndarray  # (K,)
+    alpha: jnp.ndarray            # (K,)
+    transmission: jnp.ndarray     # (K,)
+    ior: jnp.ndarray              # (K,)
+    unlit: jnp.ndarray            # (K,) bool
+    normal_scale: jnp.ndarray     # (K,)
+    exposure: jnp.ndarray         # (K,)
+    tone_mapped: jnp.ndarray      # (K,) bool
+    base_tex: jnp.ndarray         # (K,) int32 (-1 none)
+    normal_tex: jnp.ndarray
+    mr_tex: jnp.ndarray
+    emissive_tex: jnp.ndarray
+    occlusion_tex: jnp.ndarray
+
+
+class SceneGeometry(NamedTuple):
+    """Static packing; world-space arrays come from flatten_frame."""
+
+    # vertex pool (S static + D skinned = V)
+    static_pos: jnp.ndarray       # (S,3) local
+    static_nrm: jnp.ndarray       # (S,3)
+    static_tan: jnp.ndarray       # (S,4)
+    vert_instance: jnp.ndarray    # (V,) int32 into instance transforms
+    uv: jnp.ndarray               # (V,2)
+    # triangles
+    tri: jnp.ndarray              # (T,3) int32 into vertex pool
+    tri_material: jnp.ndarray     # (T,) int32
+    materials: MaterialTable
+    textures: TextureBank
+    # skinned block descriptors (static metadata)
+    skinned_blocks: tuple         # tuple of dicts (host data, see builder)
+    n_static_verts: int
+    topo: B.BVHTopology
+
+
+@dataclass
+class RenderGeometryBuilder:
+    """Host-side accumulation of render items."""
+
+    texture_size: int = 512
+
+    def __post_init__(self):
+        self._pos, self._nrm, self._tan, self._uv, self._inst = [], [], [], [], []
+        self._tri, self._tri_mat = [], []
+        self._materials: list[Material] = []
+        self._mat_ids: dict[int, int] = {}
+        self._skinned = []
+        self._tex_builder = TextureBankBuilder(self.texture_size)
+        self._tex_ids: dict[int, int] = {}
+        self._n_verts = 0
+
+    def _material_id(self, mat: Material) -> int:
+        key = id(mat)
+        if key in self._mat_ids:
+            return self._mat_ids[key]
+
+        def tex(t):
+            if t is None:
+                return -1
+            k = id(t)
+            if k not in self._tex_ids:
+                self._tex_ids[k] = self._tex_builder.add(t)
+            return self._tex_ids[k]
+
+        idx = len(self._materials)
+        self._materials.append(mat)
+        self._mat_ids[key] = idx
+        self._mat_tex = getattr(self, "_mat_tex", [])
+        self._mat_tex.append((tex(mat.base_color_texture), tex(mat.normal_texture),
+                              tex(mat.metallic_roughness_texture),
+                              tex(mat.emissive_texture), tex(mat.occlusion_texture)))
+        return idx
+
+    def add_static_mesh(self, mesh: MeshDescriptor, material: Material,
+                        instance: int, tri_range=None):
+        """Add a static mesh bound to instance-transform slot ``instance``.
+
+        ``tri_range``: optional (start, count) in *index units* for submesh
+        material splits.
+        """
+        mesh = mesh.with_tangents() if mesh.uvs is not None and mesh.normals is not None else mesh
+        base = self._n_verts
+        v = mesh.vertex_count
+        self._pos.append(mesh.positions)
+        nrm = mesh.normals if mesh.normals is not None else np.tile(
+            np.array([[0, 1, 0]], np.float32), (v, 1))
+        self._nrm.append(nrm)
+        tan = mesh.tangents if mesh.tangents is not None else np.tile(
+            np.array([[1, 0, 0, 1]], np.float32), (v, 1))
+        self._tan.append(tan)
+        uv = mesh.uvs if mesh.uvs is not None else np.zeros((v, 2), np.float32)
+        self._uv.append(uv)
+        self._inst.append(np.full(v, instance, np.int32))
+        self._n_verts += v
+
+        idx = mesh.indices
+        if tri_range is not None:
+            s, c = tri_range
+            idx = idx[s:s + c]
+        tris = idx.reshape(-1, 3) + base
+        self._tri.append(tris.astype(np.int32))
+        self._tri_mat.append(np.full(len(tris), self._material_id(material), np.int32))
+
+    def add_skinned_mesh(self, positions, normals, uvs, indices, dense_weights,
+                         materials_per_submesh, submesh_ranges, instance: int,
+                         character: int, tangents=None, inv_bind_override=None):
+        """Add a skinned mesh: verts come from per-frame LBS of character slot.
+
+        submesh_ranges: list of (start, count) in index units aligned with
+        materials_per_submesh.
+        """
+        if tangents is None:
+            tangents = compute_tangents(positions, normals, uvs, indices)
+        base = self._n_verts
+        v = len(positions)
+        self._uv.append(np.asarray(uvs, np.float32))
+        self._inst.append(np.full(v, instance, np.int32))
+        self._n_verts += v
+        self._skinned.append(dict(
+            base_vertex=base,
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            tangents=jnp.asarray(tangents),
+            dense_weights=jnp.asarray(dense_weights),
+            character=character,
+            inv_bind_override=None if inv_bind_override is None else jnp.asarray(inv_bind_override),
+        ))
+        for (s, c), mat in zip(submesh_ranges, materials_per_submesh):
+            tris = np.asarray(indices[s:s + c]).reshape(-1, 3) + base
+            self._tri.append(tris.astype(np.int32))
+            self._tri_mat.append(np.full(len(tris), self._material_id(mat), np.int32))
+
+    def build(self) -> SceneGeometry:
+        n_static = sum(len(p) for p in self._pos)
+        static_pos = np.concatenate(self._pos) if self._pos else np.zeros((0, 3), np.float32)
+        static_nrm = np.concatenate(self._nrm) if self._nrm else np.zeros((0, 3), np.float32)
+        static_tan = np.concatenate(self._tan) if self._tan else np.zeros((0, 4), np.float32)
+        uv = np.concatenate(self._uv) if self._uv else np.zeros((0, 2), np.float32)
+        inst = np.concatenate(self._inst) if self._inst else np.zeros(0, np.int32)
+        tri = np.concatenate(self._tri) if self._tri else np.zeros((0, 3), np.int32)
+        tri_mat = np.concatenate(self._tri_mat) if self._tri_mat else np.zeros(0, np.int32)
+
+        mats = self._materials
+        tex = getattr(self, "_mat_tex", [])
+        k = max(len(mats), 1)
+
+        def arr(fn, default, dtype=np.float32, dims=None):
+            out = np.full((k, *(dims or ())), default, dtype)
+            for i, m in enumerate(mats):
+                out[i] = fn(m)
+            return jnp.asarray(out)
+
+        table = MaterialTable(
+            base_color=arr(lambda m: m.base_color_factor, 1.0, dims=(3,)),
+            metallic=arr(lambda m: m.metallic_factor, 0.0),
+            roughness=arr(lambda m: m.roughness_factor, 0.5),
+            emissive=arr(lambda m: m.emissive_factor, 0.0, dims=(3,)),
+            occlusion_strength=arr(lambda m: m.occlusion_strength, 1.0),
+            alpha=arr(lambda m: m.alpha, 1.0),
+            transmission=arr(lambda m: m.transmission_factor, 0.0),
+            ior=arr(lambda m: m.ior, 1.5),
+            unlit=arr(lambda m: m.unlit, False, bool),
+            normal_scale=arr(lambda m: m.normal_scale, 1.0),
+            exposure=arr(lambda m: m.exposure, 1.0),
+            tone_mapped=arr(lambda m: m.tone_mapped, False, bool),
+            base_tex=jnp.asarray(np.array([t[0] for t in tex] or [-1], np.int32)),
+            normal_tex=jnp.asarray(np.array([t[1] for t in tex] or [-1], np.int32)),
+            mr_tex=jnp.asarray(np.array([t[2] for t in tex] or [-1], np.int32)),
+            emissive_tex=jnp.asarray(np.array([t[3] for t in tex] or [-1], np.int32)),
+            occlusion_tex=jnp.asarray(np.array([t[4] for t in tex] or [-1], np.int32)),
+        )
+
+        # Host BVH topology over the build-pose geometry (skinned verts at
+        # bind pose positions).
+        all_pos = [static_pos]
+        for blk in self._skinned:
+            all_pos.append(np.asarray(blk["positions"]))
+        pos0 = np.concatenate(all_pos) if all_pos else np.zeros((1, 3), np.float32)
+        t0 = pos0[tri[:, 0]]
+        t1 = pos0[tri[:, 1]]
+        t2 = pos0[tri[:, 2]]
+        topo = B.build_bvh(np.minimum(np.minimum(t0, t1), t2),
+                           np.maximum(np.maximum(t0, t1), t2))
+
+        return SceneGeometry(
+            static_pos=jnp.asarray(static_pos),
+            static_nrm=jnp.asarray(static_nrm),
+            static_tan=jnp.asarray(static_tan),
+            vert_instance=jnp.asarray(inst),
+            uv=jnp.asarray(uv),
+            tri=jnp.asarray(tri),
+            tri_material=jnp.asarray(tri_mat),
+            materials=table,
+            textures=self._tex_builder.build(),
+            skinned_blocks=tuple(self._skinned),
+            n_static_verts=n_static,
+            topo=topo,
+        )
+
+
+class FrameGeometry(NamedTuple):
+    """Per-frame world-space arrays + refit BVH."""
+
+    pos: jnp.ndarray    # (V,3) world
+    nrm: jnp.ndarray    # (V,3) world (plain 3x3 transform, like the reference)
+    tan: jnp.ndarray    # (V,4) world xyz + sign
+    bvh: B.BVHArrays
+
+
+def flatten_frame(geo: SceneGeometry, instance_transforms, palettes) -> FrameGeometry:
+    """Produce world-space geometry for one frame (jit-safe).
+
+    Args:
+      instance_transforms: (E,4,4) per-instance model matrices.
+      palettes: (C,B,4,4) skinning palettes per character slot (pose.model @
+        invBind). If a skinned block carries an inv_bind_override, the
+        palette for it is recomputed as model @ override — the reference's
+        per-mesh invBind substitution (Systems.swift:2507-2527) must be done
+        by the caller passing final palettes per character; here palettes are
+        used as-is.
+    """
+    blocks = []
+    for blk in geo.skinned_blocks:
+        pal = palettes[blk["character"]]
+        out = skin_vertices(blk["dense_weights"], pal, blk["positions"],
+                            blk["normals"], blk["tangents"])
+        blocks.append(out)
+
+    if blocks:
+        pos = jnp.concatenate([geo.static_pos] + [b["positions"] for b in blocks])
+        nrm = jnp.concatenate([geo.static_nrm] + [b["normals"] for b in blocks])
+        tan = jnp.concatenate([geo.static_tan] + [b["tangents"] for b in blocks])
+    else:
+        pos, nrm, tan = geo.static_pos, geo.static_nrm, geo.static_tan
+
+    m = instance_transforms[geo.vert_instance]         # (V,4,4)
+    rot = m[..., :3, :3]
+    pos_w = jnp.einsum("vij,vj->vi", rot, pos) + m[..., :3, 3]
+    nrm_w = jnp.einsum("vij,vj->vi", rot, nrm)
+    tan_w = jnp.concatenate([jnp.einsum("vij,vj->vi", rot, tan[..., :3]),
+                             tan[..., 3:]], axis=-1)
+
+    v0 = pos_w[geo.tri[:, 0]]
+    v1 = pos_w[geo.tri[:, 1]]
+    v2 = pos_w[geo.tri[:, 2]]
+    bvh_arrays = B.refit(geo.topo, v0, v1, v2)
+    return FrameGeometry(pos=pos_w, nrm=nrm_w, tan=tan_w, bvh=bvh_arrays)
