@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: DemoScene simulate + RT render throughput on one TPU chip.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is full DemoScene frames/sec on the RT path (fixed-step
+physics + pose + skinning + BVH refit + ray-traced frame) at the benchmark
+resolution. vs_baseline is measured against the driver's north-star of
+60 FPS at 1080p (BASELINE.md), normalized by pixel count so partial
+resolutions don't overstate: vs = fps * (pixels / 1080p_pixels) / 60.
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT (default 960x540), BENCH_FRAMES,
+BENCH_LAYERS, BENCH_SHADOW_LAYERS, BENCH_PATH (rt|raster).
+Secondary metrics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+
+    width = int(os.environ.get("BENCH_WIDTH", 960))
+    height = int(os.environ.get("BENCH_HEIGHT", 540))
+    frames = int(os.environ.get("BENCH_FRAMES", 3))
+    layers = int(os.environ.get("BENCH_LAYERS", 3))
+    shadow_layers = int(os.environ.get("BENCH_SHADOW_LAYERS", 4))
+    path = os.environ.get("BENCH_PATH", "rt")
+
+    from swift_game_engine_tpu.scene.demo_scene import DemoScene
+    from swift_game_engine_tpu.scene.engine import Engine
+    from swift_game_engine_tpu.scene.input import InputFrame
+
+    t0 = time.time()
+    scene = DemoScene().build()
+    log(f"scene build: {time.time()-t0:.1f}s  "
+        f"render_tris={scene['geometry'].tri.shape[0]} "
+        f"collision_tris={int(np.asarray(scene['collision'].valid).sum())}")
+
+    eng = Engine(scene, width=width, height=height, path=path,
+                 max_layers=layers, shadow_layers=shadow_layers)
+
+    # warmup (compile)
+    t0 = time.time()
+    eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
+    log(f"warmup/compile: {time.time()-t0:.1f}s")
+
+    # physics-only throughput (secondary)
+    t0 = time.time()
+    st = eng.state
+    n_sim = 120
+    for _ in range(n_sim):
+        st = eng.stepper.substep(st, 1.0 / 60.0)
+    jax.tree.map(lambda x: x.block_until_ready(), st.body_pos)
+    sim_dt = time.time() - t0
+    log(f"physics: {n_sim/sim_dt:.1f} substeps/s ({sim_dt/n_sim*1000:.2f} ms/substep)")
+
+    # full frames
+    t0 = time.time()
+    for i in range(frames):
+        eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
+    wall = time.time() - t0
+    fps = frames / wall
+    px = width * height
+    rays_per_s = fps * px / 1e6
+    log(f"frames: {fps:.3f} fps @ {width}x{height} ({wall/frames*1000:.0f} ms/frame, "
+        f"{rays_per_s:.2f} Mprimary-rays/s, path={path})")
+
+    vs = fps * (px / (1920.0 * 1080.0)) / 60.0
+    print(json.dumps({
+        "metric": f"demo_{path}_fps_{width}x{height}",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 6),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

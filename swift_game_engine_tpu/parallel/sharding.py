@@ -1,0 +1,76 @@
+"""Multi-chip scaling: shard the image plane (and agent batch) over a mesh.
+
+The reference is strictly single-GPU; its only scalability knobs are
+rtResolutionScale and active-chunk culling (SURVEY §5). The TPU engine's
+scaling axes (BASELINE.md stretch config "4 chips, 4 camera shards"):
+
+  * pixels — the RT/raster ray pipeline is embarrassingly parallel over the
+    image plane; rays are sharded over the mesh's "rays" axis and geometry
+    arrays are replicated. XLA inserts no collectives until the final
+    gather of the image (an all-gather over ICI at frame end).
+  * entities — the physics substep vmaps over agents; sharding its batch
+    axis over the same mesh scales crowd scenes (the demo's ~10 agents are
+    kept replicated — sub-chip scale).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+
+def make_mesh(devices=None, axis: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_rays(mesh: Mesh, o, d, axis: str = "rays"):
+    """Place ray arrays row-sharded over the mesh (pads to device multiple)."""
+    n = o.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
+    sh = NamedSharding(mesh, P(axis))
+    return jax.device_put(o, sh), jax.device_put(d, sh), n
+
+
+def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
+                   max_layers: int = 2, shadow_layers: int = 1):
+    """Build a jitted, image-plane-sharded RT frame function.
+
+    Returns fn(transforms, palettes, inv_view_proj, cam_pos) -> (H,W,3).
+    Geometry/BVH replicate to every device; the per-ray pipeline partitions
+    over the "rays" axis with zero cross-device traffic until assembly.
+    """
+    from ..render import rt as RT
+    from ..render.scene_geometry import flatten_frame
+    from ..render.camera import generate_rays
+
+    axis = mesh.axis_names[0]
+    ray_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=rep)
+    def render(transforms, palettes, ivp, cam_pos):
+        fg = flatten_frame(geo, transforms, palettes)
+        o, d = generate_rays(ivp, cam_pos, width, height)
+        n = o.shape[0]
+        n_dev = mesh.devices.size
+        pad = (-n) % n_dev
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
+        o = jax.lax.with_sharding_constraint(o, ray_sh)
+        d = jax.lax.with_sharding_constraint(d, ray_sh)
+        img = RT._render_rays(geo, fg, ibl, lights, cam_pos, o, d,
+                              max_layers, shadow_layers, True, True)
+        img = img[:n]
+        return img.reshape(height, width, 3)
+
+    return render

@@ -148,7 +148,11 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
 
 
 class BVHArrays(NamedTuple):
-    """Device-side refit output: node bounds + leaf triangle data."""
+    """Device-side refit output: node bounds + leaf triangle data.
+
+    ``rows`` is the packed row-per-node layout consumed by the Pallas
+    traversal kernel (ops.rt_kernel); see that module for the lane map.
+    """
 
     bmin: jnp.ndarray      # (M,3)
     bmax: jnp.ndarray      # (M,3)
@@ -158,6 +162,7 @@ class BVHArrays(NamedTuple):
     v0: jnp.ndarray        # (T,3) world-space tri verts (original order)
     v1: jnp.ndarray
     v2: jnp.ndarray
+    rows: jnp.ndarray      # (M_pad, 128) kernel layout
 
 
 def refit(topo: BVHTopology, v0, v1, v2) -> BVHArrays:
@@ -191,9 +196,12 @@ def refit(topo: BVHTopology, v0, v1, v2) -> BVHArrays:
 
     # slot_tri in ORIGINAL triangle ids for attribute lookup.
     slot_tri = jnp.where(slot_valid, t_order[safe], -1)
-    return BVHArrays(bmin=bmin, bmax=bmax, skip=jnp.asarray(topo.skip),
-                     is_leaf=jnp.asarray(topo.tri_count > 0),
-                     slot_tri=slot_tri, v0=v0, v1=v1, v2=v2)
+    out = BVHArrays(bmin=bmin, bmax=bmax, skip=jnp.asarray(topo.skip),
+                    is_leaf=jnp.asarray(topo.tri_count > 0),
+                    slot_tri=slot_tri, v0=v0, v1=v1, v2=v2,
+                    rows=jnp.zeros((0, 128), jnp.float32))
+    from ..ops.rt_kernel import pack_bvh
+    return out._replace(rows=pack_bvh(out).rows)
 
 
 def traverse(bvh: BVHArrays, origin, direction, t_max, max_steps: int = 512,

@@ -35,6 +35,7 @@ from .textures import sample_bilinear
 
 BG_COLOR = jnp.array([0.02, 0.02, 0.03])
 AMBIENT_INTENSITY = 0.25  # RayTracingRenderer.swift:82
+BIG = jnp.float32(3.0e38)
 
 
 class DirectionalLights(NamedTuple):
@@ -69,9 +70,29 @@ class DirectionalLights(NamedTuple):
                                      jnp.float32))
 
 
+import os
+
+# The Pallas packet kernel is the production traversal; the pure-JAX
+# stackless path remains as the reference implementation (and for backends
+# where Mosaic is unavailable, via interpret mode on tiny scenes).
+_FORCE_JAX_TRAVERSAL = os.environ.get("SGE_JAX_TRAVERSAL", "0") == "1"
+
+
 @partial(jax.jit, static_argnames=())
 def _trace_batch(bvh, o, d, active):
     """Nearest-hit traversal over a ray batch; inactive lanes exit instantly."""
+    if not _FORCE_JAX_TRAVERSAL:
+        from ..ops.rt_kernel import trace_rays_pallas, barycentrics, KernelBVH, BIG as KBIG
+        interpret = jax.default_backend() != "tpu"
+        kb = KernelBVH(rows=bvh.rows, n_nodes=bvh.bmin.shape[0])
+        t_max = jnp.where(active, KBIG, jnp.float32(0.0))
+        # Park inactive rays far outside the root AABB: fully-masked packets
+        # then fail the root test and exit after one traversal step.
+        o = jnp.where(active[..., None], o, jnp.float32(1.0e9))
+        t, tri = trace_rays_pallas(kb, o, d, t_max, interpret=interpret)
+        u, v, found = barycentrics(bvh, o, d, t, tri)
+        found = found & active & (t < KBIG)
+        return jnp.where(found, t, BIG), jnp.where(found, tri, -1), u, v, found
 
     def one(o_i, d_i, a_i):
         t, tri, u, v, found = B.traverse(bvh, o_i, d_i, jnp.float32(1e6))
@@ -230,6 +251,25 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     """Full RT frame -> (H, W, 3) linear color (rgba16f-equivalent range)."""
     from .camera import generate_rays
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
+    out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o, ray_d,
+                       max_layers, shadow_layers, enable_mirror,
+                       enable_refraction)
+    gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                          jnp.arange(height, dtype=jnp.float32))
+    noise = hash12(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+    dither = (noise - 0.5) * (1.0 / 255.0)
+    out = jnp.maximum(out + dither[..., None], 0.0)
+    return out.reshape(height, width, 3)
+
+
+def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
+                 lights: DirectionalLights, cam_pos, ray_o, ray_d,
+                 max_layers: int = 3, shadow_layers: int = 4,
+                 enable_mirror: bool = True, enable_refraction: bool = True):
+    """Trace + shade a flat ray batch -> (P,3) colors (no dither/reshape).
+
+    The shardable core: embarrassingly parallel over rays (parallel.sharding
+    partitions this over the device mesh)."""
     p = ray_o.shape[0]
     cam = jnp.asarray(cam_pos, jnp.float32)
 
@@ -301,10 +341,4 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     _, _, accum, accum_alpha = jax.lax.fori_loop(
         0, max_layers, layer_body, (o, live0, accum, accum_alpha))
 
-    out = accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
-    gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
-                          jnp.arange(height, dtype=jnp.float32))
-    noise = hash12(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
-    dither = (noise - 0.5) * (1.0 / 255.0)
-    out = jnp.maximum(out + dither[..., None], 0.0)
-    return out.reshape(height, width, 3)
+    return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]

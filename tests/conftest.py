@@ -8,6 +8,9 @@ path). Environment must be set before jax is imported anywhere.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU tests use the pure-JAX traversal (the Pallas kernel's reference
+# implementation); interpret-mode packet traversal is too slow for CI.
+os.environ.setdefault("SGE_JAX_TRAVERSAL", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
