@@ -82,14 +82,20 @@ class RenderGeometryBuilder:
     texture_size: int = 512
 
     def __post_init__(self):
+        # Static and skinned vertex streams are kept separate because the
+        # final pool layout is [all static verts | all skinned verts] (the
+        # per-frame flatten concatenates LBS outputs after the statics).
         self._pos, self._nrm, self._tan, self._uv, self._inst = [], [], [], [], []
-        self._tri, self._tri_mat = [], []
+        self._sk_uv, self._sk_inst = [], []
+        self._tri, self._tri_mat = [], []           # static, absolute indices
+        self._sk_tri, self._sk_tri_mat = [], []     # skinned, skinned-pool-relative
         self._materials: list[Material] = []
         self._mat_ids: dict[int, int] = {}
         self._skinned = []
         self._tex_builder = TextureBankBuilder(self.texture_size)
         self._tex_ids: dict[int, int] = {}
-        self._n_verts = 0
+        self._n_verts = 0          # static verts so far
+        self._n_sk_verts = 0       # skinned verts so far
 
     def _material_id(self, mat: Material) -> int:
         key = id(mat)
@@ -153,11 +159,11 @@ class RenderGeometryBuilder:
         """
         if tangents is None:
             tangents = compute_tangents(positions, normals, uvs, indices)
-        base = self._n_verts
+        base = self._n_sk_verts     # relative to the skinned pool; fixed up in build()
         v = len(positions)
-        self._uv.append(np.asarray(uvs, np.float32))
-        self._inst.append(np.full(v, instance, np.int32))
-        self._n_verts += v
+        self._sk_uv.append(np.asarray(uvs, np.float32))
+        self._sk_inst.append(np.full(v, instance, np.int32))
+        self._n_sk_verts += v
         self._skinned.append(dict(
             base_vertex=base,
             positions=jnp.asarray(positions),
@@ -169,18 +175,27 @@ class RenderGeometryBuilder:
         ))
         for (s, c), mat in zip(submesh_ranges, materials_per_submesh):
             tris = np.asarray(indices[s:s + c]).reshape(-1, 3) + base
-            self._tri.append(tris.astype(np.int32))
-            self._tri_mat.append(np.full(len(tris), self._material_id(mat), np.int32))
+            self._sk_tri.append(tris.astype(np.int32))
+            self._sk_tri_mat.append(np.full(len(tris), self._material_id(mat), np.int32))
 
     def build(self) -> SceneGeometry:
         n_static = sum(len(p) for p in self._pos)
-        static_pos = np.concatenate(self._pos) if self._pos else np.zeros((0, 3), np.float32)
-        static_nrm = np.concatenate(self._nrm) if self._nrm else np.zeros((0, 3), np.float32)
-        static_tan = np.concatenate(self._tan) if self._tan else np.zeros((0, 4), np.float32)
-        uv = np.concatenate(self._uv) if self._uv else np.zeros((0, 2), np.float32)
-        inst = np.concatenate(self._inst) if self._inst else np.zeros(0, np.int32)
-        tri = np.concatenate(self._tri) if self._tri else np.zeros((0, 3), np.int32)
-        tri_mat = np.concatenate(self._tri_mat) if self._tri_mat else np.zeros(0, np.int32)
+
+        def cat(lists, empty_shape, dtype=np.float32):
+            return np.concatenate(lists) if lists else np.zeros(empty_shape, dtype)
+
+        static_pos = cat(self._pos, (0, 3))
+        static_nrm = cat(self._nrm, (0, 3))
+        static_tan = cat(self._tan, (0, 4))
+        # vertex pool layout: [static | skinned]
+        uv = np.concatenate([cat(self._uv, (0, 2)), cat(self._sk_uv, (0, 2))])
+        inst = np.concatenate([cat(self._inst, (0,), np.int32),
+                               cat(self._sk_inst, (0,), np.int32)])
+        sk_tri = cat(self._sk_tri, (0, 3), np.int32)
+        tri = np.concatenate([cat(self._tri, (0, 3), np.int32),
+                              sk_tri + n_static]).astype(np.int32)
+        tri_mat = np.concatenate([cat(self._tri_mat, (0,), np.int32),
+                                  cat(self._sk_tri_mat, (0,), np.int32)])
 
         mats = self._materials
         tex = getattr(self, "_mat_tex", [])
@@ -221,8 +236,8 @@ class RenderGeometryBuilder:
         t0 = pos0[tri[:, 0]]
         t1 = pos0[tri[:, 1]]
         t2 = pos0[tri[:, 2]]
-        topo = B.build_bvh(np.minimum(np.minimum(t0, t1), t2),
-                           np.maximum(np.maximum(t0, t1), t2))
+        topo = B.build_bvh_morton(np.minimum(np.minimum(t0, t1), t2),
+                                  np.maximum(np.maximum(t0, t1), t2))
 
         return SceneGeometry(
             static_pos=jnp.asarray(static_pos),

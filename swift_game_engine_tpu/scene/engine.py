@@ -62,17 +62,40 @@ class Engine:
         @jax.jit
         def _render_rt(transforms, palettes, ivp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
-            img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
-                                  max_layers=max_layers,
-                                  shadow_layers=shadow_layers)
-            return composite_frame(img, self.tone_mapping_exposure, True)
+            return RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
+                                   max_layers=max_layers,
+                                   shadow_layers=shadow_layers)
 
         @jax.jit
         def _render_raster(transforms, palettes, ivp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
             return render_frame_raster(geo, fg, ivp, cam_pos, rw, rh)
 
-        self._render = _render_rt if path == "rt" else _render_raster
+        comp = jax.jit(lambda img, exposure: composite_frame(img, exposure, True))
+
+        # Frame passes through the render graph (prune + dependency sort —
+        # the reference's RenderGraph semantics, Game/RenderGraph.swift:183-368).
+        from ..render.graph import RenderGraph, RenderPass
+        self.graph = RenderGraph()
+        render_fn = _render_rt if path == "rt" else _render_raster
+
+        def rt_pass(res):
+            return {"rt_output": render_fn(res["transforms"], res["palettes"],
+                                           res["ivp"], res["cam_pos"])}
+
+        def composite_pass(res):
+            img = res["rt_output"]
+            if path == "rt" and self.tone_mapping_enabled:
+                img = comp(img, res["exposure"])
+            return {"view": img}
+
+        self.graph.add_pass(RenderPass("rt", rt_pass,
+                                       reads=("transforms", "palettes", "ivp",
+                                              "cam_pos"),
+                                       writes=("rt_output",)))
+        self.graph.add_pass(RenderPass("composite", composite_pass,
+                                       reads=("rt_output", "exposure"),
+                                       target="view"))
 
     # ------------------------------------------------------------------
 
@@ -123,13 +146,15 @@ class Engine:
         return alpha
 
     def render(self, alpha: float):
-        """Render extraction + frame render. Returns (H,W,3) float array."""
+        """Render extraction + graph execution. Returns (H,W,3) float array."""
         cam_world = self.camera.world_position.astype(np.float32)
         transforms, palettes = self.stepper.extract(self.state, alpha, cam_world)
         ivp = self.camera.inv_view_proj(self.rt_size[0], self.rt_size[1])
-        img = self._render(transforms, palettes, ivp,
-                           jnp.asarray(self.camera.position))
-        return img
+        res = self.graph.execute(dict(
+            transforms=transforms, palettes=palettes, ivp=ivp,
+            cam_pos=jnp.asarray(self.camera.position),
+            exposure=jnp.float32(self.tone_mapping_exposure)))
+        return res["view"]
 
     def frame(self, dt: float, pad: Optional[InputFrame] = None,
               with_overlay: bool = True):
