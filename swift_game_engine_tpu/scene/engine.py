@@ -156,6 +156,23 @@ class Engine:
             exposure=jnp.float32(self.tone_mapping_exposure)))
         return res["view"]
 
+    # -- checkpoint / resume --------------------------------------------
+    # The reference has no save-game (SURVEY §5); the pytree world state
+    # makes it trivial here. One .npz holds the entire simulation.
+
+    def save_state(self, path: str):
+        flat, treedef = jax.tree.flatten(self.state)
+        np.savez(path, *[np.asarray(x) for x in flat],
+                 accumulator=self.accumulator, time=self.time)
+
+    def load_state(self, path: str):
+        data = np.load(path)
+        flat, treedef = jax.tree.flatten(self.state)
+        arrays = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
+        self.state = jax.tree.unflatten(treedef, arrays)
+        self.accumulator = float(data["accumulator"])
+        self.time = float(data["time"])
+
     def frame(self, dt: float, pad: Optional[InputFrame] = None,
               with_overlay: bool = True):
         """Full frame: update + render + FPS overlay. Returns uint8 (H,W,3)."""
