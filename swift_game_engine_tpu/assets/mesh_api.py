@@ -109,6 +109,59 @@ class SkinnedMeshDescriptor:
             name=self.name)
 
 
+def simplify_mesh(mesh: MeshDescriptor, target_tris: int) -> MeshDescriptor:
+    """Vertex-clustering decimation to approximately ``target_tris``.
+
+    Quantizes vertices to a uniform grid sized from the triangle budget,
+    merges co-located vertices (averaging attributes), and drops collapsed
+    triangles. Fast (pure numpy) and topology-free — the right trade for
+    dense scanned assets that must fit the RT kernel's VMEM budget.
+    """
+    t = mesh.triangle_count
+    if t <= target_tris:
+        return mesh
+    lo = mesh.positions.min(axis=0)
+    hi = mesh.positions.max(axis=0)
+    span = np.maximum(hi - lo, 1e-9)
+    # grid resolution: surface-ish scaling, iterate to hit the budget
+    res = max(int(np.cbrt(target_tris) * 2.0), 4)
+    for _ in range(8):
+        cell = (mesh.positions - lo) / span
+        key = np.clip((cell * res).astype(np.int64), 0, res - 1)
+        flat = (key[:, 0] * res + key[:, 1]) * res + key[:, 2]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        tri = inv[mesh.indices.reshape(-1, 3)]
+        keep = (tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2]) & \
+               (tri[:, 0] != tri[:, 2])
+        n_out = int(keep.sum())
+        if n_out <= target_tris or res > 4096:
+            break
+        res = int(res * 1.5)
+    if n_out > target_tris:
+        # fall back: coarser grid overshoot, accept closest
+        pass
+
+    v_out = len(uniq)
+    counts = np.bincount(inv, minlength=v_out).astype(np.float64)[:, None]
+
+    def avg(attr):
+        if attr is None:
+            return None
+        out = np.zeros((v_out, attr.shape[1]), np.float64)
+        np.add.at(out, inv, attr.astype(np.float64))
+        return (out / counts).astype(np.float32)
+
+    positions = avg(mesh.positions)
+    normals = avg(mesh.normals)
+    if normals is not None:
+        ln = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = np.where(ln > 1e-8, normals / np.maximum(ln, 1e-20),
+                           np.array([[0, 1, 0]], np.float32)).astype(np.float32)
+    uvs = avg(mesh.uvs)
+    return MeshDescriptor(positions=positions, indices=tri[keep].reshape(-1).astype(np.int32),
+                          normals=normals, uvs=uvs, name=mesh.name + ":lod")
+
+
 def compute_tangents(positions, normals, uvs, indices) -> np.ndarray:
     """Per-vertex tangents with handedness (reference: Game/MeshTangents.swift:11-82).
 

@@ -27,8 +27,8 @@ packets visit only the union of their rays' subtrees.
 Row layout (f32 lanes):
   [0:3]  bmin            [3:6]  bmax
   [6]    skip link       [7]    leaf flag
-  [8+9j : 17+9j] triangle j as (a, b-a, c-a), j in 0..3
-  [44+j] triangle j's original id (-1 if empty)
+  [8+9j : 17+9j] triangle j as (a, b-a, c-a), j in 0..SLOT_N-1
+  [116+j] triangle j's original id (-1 if empty)
 """
 
 from __future__ import annotations
@@ -46,6 +46,7 @@ BLOCK = 1024           # rays per program: one (8, 128) VPU tile
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
+SLOT_N = 12            # triangles inlined per leaf row (8 + 9*12 + 12 = 128)
 
 
 class KernelBVH(NamedTuple):
@@ -56,22 +57,28 @@ class KernelBVH(NamedTuple):
 def pack_bvh(bvh) -> KernelBVH:
     """render.bvh.BVHArrays -> row-per-node kernel layout (jit-safe)."""
     m = bvh.bmin.shape[0]
-    slots = bvh.slot_tri                      # (M,4) original tri ids
+    slots = bvh.slot_tri                      # (M,K) original tri ids
+    k = slots.shape[1]
+    assert k <= SLOT_N, f"leaf width {k} exceeds row capacity {SLOT_N}"
+    if k < SLOT_N:
+        slots = jnp.concatenate(
+            [slots, jnp.full((m, SLOT_N - k), -1, slots.dtype)], axis=1)
     safe = jnp.maximum(slots, 0)
-    a = bvh.v0[safe]                          # (M,4,3)
+    a = bvh.v0[safe]                          # (M,SLOT_N,3)
     ba = bvh.v1[safe] - a
     ca = bvh.v2[safe] - a
-    tri_block = jnp.concatenate([a, ba, ca], axis=-1)   # (M,4,9)
+    tri_block = jnp.concatenate([a, ba, ca], axis=-1)   # (M,SLOT_N,9)
 
     rows = jnp.concatenate([
         bvh.bmin,                                        # 0:3
         bvh.bmax,                                        # 3:6
         bvh.skip.astype(jnp.float32)[:, None],           # 6
         bvh.is_leaf.astype(jnp.float32)[:, None],        # 7
-        tri_block.reshape(m, 36),                        # 8:44
-        slots.astype(jnp.float32),                       # 44:48
+        tri_block.reshape(m, 9 * SLOT_N),                # 8:116
+        slots.astype(jnp.float32),                       # 116:128
     ], axis=-1)
     pad = ROW - rows.shape[-1]
+    assert pad >= 0
     rows = jnp.pad(rows, ((0, 0), (0, pad)))
     # pad row count to a sublane multiple
     mp = (-m) % 8
@@ -131,9 +138,9 @@ def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def do_leaf(args):
             tb, trib = args
-            for j in range(4):
+            for j in range(SLOT_N):
                 base = 8 + 9 * j
-                tri_id = row[0, 44 + j]
+                tri_id = row[0, 116 + j]
                 valid = tri_id >= 0
                 ax, ay, az = s(base), s(base + 1), s(base + 2)
                 e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)

@@ -33,7 +33,12 @@ from .primitives import (segment_triangle_distance, ray_triangle, aabb_overlap)
 from .collision_world import TriangleSoup
 
 CONTACT_EPS = 1e-5
-DEFAULT_CA_ITERS = 64
+# Conservative-advancement iteration budget. The reference caps at 256 with
+# min advance max(0.02 r, 1e-4) (CollisionQuery.swift:1295-1296); character
+# sweeps move <= ~1.2 units/substep so ~40 iterations suffice even for
+# grazing contacts — 48 keeps headroom while every iteration costs a fixed
+# lockstep kernel launch.
+DEFAULT_CA_ITERS = 48
 REFINE_ITERS = 10
 BIG = jnp.float32(3.0e38)
 

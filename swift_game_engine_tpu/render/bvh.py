@@ -147,7 +147,8 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
         levels=tuple(levels), leaf_slots=leaf_slots)
 
 
-def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
+def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray,
+                     leaf_size: int = 12) -> BVHTopology:
     """Morton-ordered balanced build: LBVH-style topology in O(T log T).
 
     Sorts triangles by the 30-bit Morton code of their centroid, then builds
@@ -173,6 +174,20 @@ def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
 
     morton = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
     order = np.argsort(morton, kind="stable").astype(np.int64)
+    codes = morton[order].astype(np.uint64)
+
+    def radix_split(start, count):
+        """Karras-style split: partition where the highest differing Morton
+        bit flips (spatial octree-like quality); falls back to halving when
+        the range shares one code."""
+        first = int(codes[start])
+        last = int(codes[start + count - 1])
+        if first == last:
+            return count // 2
+        bit = 1 << (int(first ^ last).bit_length() - 1)   # highest differing bit
+        target = (first & ~((bit << 1) - 1)) | bit
+        lo = int(np.searchsorted(codes[start:start + count], target))
+        return min(max(lo, 1), count - 1)
 
     skip, first_tri, tri_count, left, right, parent, depth = [], [], [], [], [], [], []
     stack = [(0, t, -1, 0, False)]
@@ -191,10 +206,10 @@ def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
                 right[par] = idx
             else:
                 left[par] = idx
-        if count <= LEAF_SIZE:
+        if count <= leaf_size:
             tri_count[idx] = count
             continue
-        n_left = count // 2
+        n_left = radix_split(start, count)
         stack.append((start + n_left, count - n_left, idx, dep + 1, True))
         stack.append((start, n_left, idx, dep + 1, False))
 
@@ -223,7 +238,7 @@ def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray) -> BVHTopology:
             if len(lv):
                 levels.append(lv.astype(np.int32))
 
-    leaf_slots = np.full((m, LEAF_SIZE), -1, np.int32)
+    leaf_slots = np.full((m, leaf_size), -1, np.int32)
     leaves = np.nonzero(tri_count_arr > 0)[0]
     for i in leaves:
         cn = tri_count_arr[i]

@@ -65,7 +65,14 @@ class DemoScene:
     """Builds (spec, state, stepper, geometry, camera defaults, lights)."""
 
     asset_dir: str = "/root/reference/Game"
+    # Generated assets (tools/fbx_to_*.py output) searched first.
+    generated_dir: str = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "..", "..", "assets")
     include_imported_assets: bool = True
+    # Render-mesh triangle budget per imported part: the RT kernel keeps the
+    # whole BVH VMEM-resident (ops/rt_kernel.py), so dense scanned assets are
+    # decimated at import (collision uses the exact hulls regardless).
+    import_tri_budget: int = 20000
 
     def build(self):
         wb = WorldBuilder()
@@ -209,7 +216,8 @@ class DemoScene:
         spec, state = wb.build()
         collision = cb.build()
         geometry = rb.build()
-        stepper = Stepper(spec, collision, pose_engine, bank, action_prof)
+        stepper = Stepper(spec, collision, pose_engine, bank, action_prof,
+                          inv_bind_override=self._inv_bind_override)
         return dict(spec=spec, state=state, stepper=stepper, geometry=geometry,
                     lights=lights, player=player, collision=collision,
                     pose_engine=pose_engine)
@@ -217,6 +225,9 @@ class DemoScene:
     # ------------------------------------------------------------------
 
     def _asset(self, name):
+        gen = os.path.join(self.generated_dir, name)
+        if os.path.exists(gen):
+            return gen
         return os.path.join(self.asset_dir, name)
 
     def _add_imported(self, wb, cb, rb, static_name, materials_name, offset,
@@ -260,10 +271,21 @@ class DemoScene:
             e = wb.create_entity(f"{static_name}:{part.name}")
             wb.add(e, "transform", translation=t, rotation=q, scale=s)
             wb.add(e, "world_position")
-            for sub in part.submeshes:
-                mat = materials.get(sub.material, fallback)
-                rb.add_static_mesh(part.mesh, mat, instance=e,
-                                   tri_range=(sub.start, sub.count))
+            mesh = part.mesh
+            if mesh.triangle_count > self.import_tri_budget and \
+                    len(part.submeshes) == 1:
+                from ..assets.mesh_api import simplify_mesh
+                mesh = simplify_mesh(mesh.with_tangents() if mesh.uvs is not None
+                                     and mesh.normals is not None else mesh,
+                                     self.import_tri_budget)
+                sub0 = part.submeshes[0]
+                rb.add_static_mesh(mesh, materials.get(sub0.material, fallback),
+                                   instance=e)
+            else:
+                for sub in part.submeshes:
+                    mat = materials.get(sub.material, fallback)
+                    rb.add_static_mesh(mesh, mat, instance=e,
+                                       tri_range=(sub.start, sub.count))
             for i, hull in enumerate(part.collision_hulls):
                 he = wb.create_entity(f"{static_name}:{part.name}:hull{i}")
                 wb.add(he, "transform", translation=t, rotation=q, scale=s)
@@ -313,6 +335,7 @@ class DemoScene:
         skinned_path = self._asset("YBot.skinned.json")
         ybot_mats = load_materials(self._asset("YBot.materials.json")) \
             if os.path.exists(self._asset("YBot.materials.json")) else {}
+        self._inv_bind_override = None
         if os.path.exists(skinned_path):
             sm = load_skinned_mesh(skinned_path, skeleton)
             mats = [ybot_mats.get(s.material, Material(name=s.material))
@@ -322,6 +345,7 @@ class DemoScene:
                                 [(s.start, s.count) for s in sm.submeshes],
                                 instance=e, character=0,
                                 inv_bind_override=sm.inv_bind_model)
+            self._inv_bind_override = sm.inv_bind_model[None]  # (1,B,4,4)
         else:
             print("DemoScene: missing YBot.skinned.json — using skeletonCapsules body")
             sk_mesh = pm.skeleton_capsules(skeleton, radius=0.05)

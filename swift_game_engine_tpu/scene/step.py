@@ -54,12 +54,17 @@ class Stepper:
     def __init__(self, spec: SceneSpec, collision: LocalTriangles,
                  pose_engine: PoseEngine = None, bank: ProfileBank = None,
                  action_profile: ActionProfile = None,
-                 max_substep_pipeline=None):
+                 inv_bind_override=None):
         self.spec = spec
         self.collision = collision
         self.pose_engine = pose_engine
         self.bank = bank
         self.action_profile = action_profile
+        # Per-character inverse-bind override from the skinned asset
+        # (reference: Systems.swift:2507-2527 — mesh invBind wins over the
+        # skeleton-derived palette when present). (C,B,4,4) or None.
+        self.inv_bind_override = None if inv_bind_override is None else \
+            jnp.asarray(inv_bind_override)
         self.pipeline = CharacterPipeline(gravity=spec.gravity)
         # static masks as jnp
         self.m = {k: jnp.asarray(getattr(spec, k)) for k in
@@ -217,7 +222,10 @@ class Stepper:
                 self.bank, self.action_profile, lo, pa, a, i, dt))
             res = step(loco_c, params_c, astate_c, inputs)
             loco = jax.tree.map(lambda full, upd: full.at[ce].set(upd), loco, res.loco)
-            palettes = res.palette
+            if self.inv_bind_override is not None:
+                palettes = jnp.matmul(res.model, self.inv_bind_override)
+            else:
+                palettes = res.palette
             pose_phase = pose_phase.at[ce].set(res.phase)
 
         # --- post: PhysicsWriteback (body -> transform)
