@@ -123,9 +123,10 @@ def simplify_mesh(mesh: MeshDescriptor, target_tris: int) -> MeshDescriptor:
     lo = mesh.positions.min(axis=0)
     hi = mesh.positions.max(axis=0)
     span = np.maximum(hi - lo, 1e-9)
-    # grid resolution: surface-ish scaling, iterate to hit the budget
+    # grid resolution: start around the budget's scale, coarsen until the
+    # triangle count fits.
     res = max(int(np.cbrt(target_tris) * 2.0), 4)
-    for _ in range(8):
+    for _ in range(12):
         cell = (mesh.positions - lo) / span
         key = np.clip((cell * res).astype(np.int64), 0, res - 1)
         flat = (key[:, 0] * res + key[:, 1]) * res + key[:, 2]
@@ -134,12 +135,9 @@ def simplify_mesh(mesh: MeshDescriptor, target_tris: int) -> MeshDescriptor:
         keep = (tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2]) & \
                (tri[:, 0] != tri[:, 2])
         n_out = int(keep.sum())
-        if n_out <= target_tris or res > 4096:
+        if n_out <= target_tris or res <= 4:
             break
-        res = int(res * 1.5)
-    if n_out > target_tris:
-        # fall back: coarser grid overshoot, accept closest
-        pass
+        res = max(int(res / 1.3), 4)
 
     v_out = len(uniq)
     counts = np.bincount(inv, minlength=v_out).astype(np.float64)[:, None]
@@ -160,6 +158,56 @@ def simplify_mesh(mesh: MeshDescriptor, target_tris: int) -> MeshDescriptor:
     uvs = avg(mesh.uvs)
     return MeshDescriptor(positions=positions, indices=tri[keep].reshape(-1).astype(np.int32),
                           normals=normals, uvs=uvs, name=mesh.name + ":lod")
+
+
+def simplify_skinned(positions, normals, uvs, indices, joints, weights,
+                     target_tris: int):
+    """Vertex-clustering decimation preserving LBS weights (top-4 re-pick)."""
+    t = len(indices) // 3
+    if t <= target_tris:
+        return positions, normals, uvs, indices, joints, weights
+    lo = positions.min(axis=0)
+    span = np.maximum(positions.max(axis=0) - lo, 1e-9)
+    res = max(int(np.cbrt(target_tris) * 2.0), 4)
+    tri = indices.reshape(-1, 3)
+    for _ in range(12):
+        key = np.clip(((positions - lo) / span * res).astype(np.int64), 0, res - 1)
+        flat = (key[:, 0] * res + key[:, 1]) * res + key[:, 2]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        tri2 = inv[tri]
+        keep = (tri2[:, 0] != tri2[:, 1]) & (tri2[:, 1] != tri2[:, 2]) & \
+               (tri2[:, 0] != tri2[:, 2])
+        if int(keep.sum()) <= target_tris or res <= 4:
+            break
+        res = max(int(res / 1.3), 4)
+
+    v_out = len(uniq)
+    counts = np.bincount(inv, minlength=v_out).astype(np.float64)[:, None]
+
+    def avg(attr):
+        out = np.zeros((v_out, attr.shape[1]), np.float64)
+        np.add.at(out, inv, attr.astype(np.float64))
+        return (out / counts).astype(np.float32)
+
+    pos = avg(positions)
+    nrm = avg(normals)
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = np.where(ln > 1e-8, nrm / np.maximum(ln, 1e-20),
+                   np.array([[0, 1, 0]], np.float32)).astype(np.float32)
+    uv = avg(uvs)
+
+    # merge weights per cluster: accumulate per (cluster, bone), take top-4
+    n_b = int(joints.max()) + 1
+    acc = np.zeros((v_out, n_b), np.float64)
+    rows = np.repeat(inv, 4)
+    np.add.at(acc, (rows, joints.reshape(-1)), weights.reshape(-1))
+    top = np.argsort(-acc, axis=1)[:, :4]
+    w4 = np.take_along_axis(acc, top, axis=1)
+    s = w4.sum(axis=1, keepdims=True)
+    w4 = np.where(s > 0, w4 / np.maximum(s, 1e-20), 0.0)
+
+    return (pos, nrm, uv, tri2[keep].reshape(-1).astype(np.int32),
+            top.astype(np.int32), w4.astype(np.float32))
 
 
 def compute_tangents(positions, normals, uvs, indices) -> np.ndarray:

@@ -209,7 +209,12 @@ def build_bvh_morton(tri_min: np.ndarray, tri_max: np.ndarray,
         if count <= leaf_size:
             tri_count[idx] = count
             continue
-        n_left = radix_split(start, count)
+        if count <= 2 * leaf_size:
+            # Terminal split: emit one full leaf (keeps average leaf
+            # occupancy high — VMEM row budget scales with node count).
+            n_left = min(leaf_size, count - 1)
+        else:
+            n_left = radix_split(start, count)
         stack.append((start + n_left, count - n_left, idx, dep + 1, True))
         stack.append((start, n_left, idx, dep + 1, False))
 

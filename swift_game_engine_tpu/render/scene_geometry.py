@@ -236,8 +236,17 @@ class RenderGeometryBuilder:
         t0 = pos0[tri[:, 0]]
         t1 = pos0[tri[:, 1]]
         t2 = pos0[tri[:, 2]]
-        topo = B.build_bvh_morton(np.minimum(np.minimum(t0, t1), t2),
-                                  np.maximum(np.maximum(t0, t1), t2))
+        tmin = np.minimum(np.minimum(t0, t1), t2)
+        tmax = np.maximum(np.maximum(t0, t1), t2)
+        # Native binned-SAH build when available (best traversal quality);
+        # Python Morton/radix build otherwise.
+        try:
+            from .bvh_native import build_bvh_sah
+            topo = build_bvh_sah(tmin, tmax)
+        except Exception as e:  # pragma: no cover - toolchain dependent
+            print(f"scene_geometry: native BVH builder unavailable ({e}); "
+                  "using Morton build")
+            topo = B.build_bvh_morton(tmin, tmax)
 
         return SceneGeometry(
             static_pos=jnp.asarray(static_pos),

@@ -337,14 +337,24 @@ class DemoScene:
             if os.path.exists(self._asset("YBot.materials.json")) else {}
         self._inv_bind_override = None
         if os.path.exists(skinned_path):
+            from ..assets.mesh_api import simplify_skinned
             sm = load_skinned_mesh(skinned_path, skeleton)
-            mats = [ybot_mats.get(s.material, Material(name=s.material))
-                    for s in sm.submeshes]
-            rb.add_skinned_mesh(sm.positions, sm.normals, sm.uvs, sm.indices,
-                                sm.dense_weights, mats,
-                                [(s.start, s.count) for s in sm.submeshes],
-                                instance=e, character=0,
-                                inv_bind_override=sm.inv_bind_model)
+            budget = self.import_tri_budget
+            for s in sm.submeshes:
+                mat = ybot_mats.get(s.material, Material(name=s.material))
+                idx = sm.indices[s.start:s.start + s.count]
+                used = np.unique(idx)
+                remap = np.full(sm.vertex_count, -1, np.int64)
+                remap[used] = np.arange(len(used))
+                part_target = max(int(budget * s.count / len(sm.indices)), 2000)
+                pos, nrm, uv, tri, j4, w4 = simplify_skinned(
+                    sm.positions[used], sm.normals[used], sm.uvs[used],
+                    remap[idx].astype(np.int32), sm.joints[used],
+                    sm.weights[used], part_target)
+                dense = dense_weight_matrix(j4, w4, skeleton.bone_count)
+                rb.add_skinned_mesh(pos, nrm, uv, tri, dense, [mat],
+                                    [(0, len(tri))], instance=e, character=0,
+                                    inv_bind_override=sm.inv_bind_model)
             self._inv_bind_override = sm.inv_bind_model[None]  # (1,B,4,4)
         else:
             print("DemoScene: missing YBot.skinned.json — using skeletonCapsules body")
