@@ -91,17 +91,19 @@ def load_skinned_mesh(path: str, skeleton: Skeleton) -> SkinnedMeshAsset:
     skin_bones = data.get("skin", {}).get("bones", [])
     remap = _bone_remap([b["name"] for b in skin_bones], skeleton)
 
-    # Remap joints; drop weights of unmapped bones, renormalize.
-    joints = np.zeros((v, 4), np.int32)
+    # Remap joints; drop weights of unmapped bones, renormalize (vectorized:
+    # remap table -> one gather over the (V,4) joint matrix).
     n_skin = len(remap)
-    for j in range(4):
-        src = joints_src[:, j]
-        valid = src < n_skin
-        mapped = np.array([(remap[s] if s < n_skin and remap[s] is not None else -1)
-                           for s in src], np.int64)
-        ok = valid & (mapped >= 0)
-        joints[:, j] = np.where(ok, mapped, 0).astype(np.int32)
-        weights[:, j] = np.where(ok, weights[:, j], 0.0)
+    table = np.full(n_skin + 1, -1, np.int64)
+    for i, m in enumerate(remap):
+        if m is not None:
+            table[i] = m
+    src = np.clip(joints_src, 0, n_skin)      # out-of-range -> sentinel row
+    src[joints_src >= n_skin] = n_skin
+    mapped = table[src]                        # (V,4)
+    ok = mapped >= 0
+    joints = np.where(ok, mapped, 0).astype(np.int32)
+    weights = np.where(ok, weights, 0.0).astype(np.float32)
     wsum = weights.sum(axis=1, keepdims=True)
     weights = np.where(wsum > 0, weights / np.maximum(wsum, 1e-20), weights)
 
