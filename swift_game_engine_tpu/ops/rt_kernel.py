@@ -33,6 +33,7 @@ Row layout (f32 lanes):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -42,7 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024           # rays per program: one (8, 128) VPU tile
+# Rays per program. One (8,128) VPU tile per 1024; larger blocks amortize
+# the per-node loop overhead (the kernel is overhead-bound, not ALU-bound)
+# at the cost of a larger per-packet subtree union. Tunable for experiments.
+BLOCK = int(os.environ.get("SGE_RT_BLOCK", "1024"))
+assert BLOCK % 1024 == 0, "BLOCK must be a multiple of 1024"
+_SUB = 8 * (BLOCK // 1024)   # sublane rows per ray operand
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
@@ -188,14 +194,14 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
     nb = o.shape[0] // BLOCK
 
     def comp(x):
-        return x.reshape(nb, 8, 128)
+        return x.reshape(nb, _SUB, 128)
 
     rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
             comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
             comp(jnp.asarray(t_max, jnp.float32))]
 
     node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     t, tri = pl.pallas_call(
@@ -203,8 +209,8 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
         grid=(nb,),
         in_specs=[node_spec] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec),
-        out_shape=(jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
         interpret=interpret,
     )(kbvh.rows, *rays)
 

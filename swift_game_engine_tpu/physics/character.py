@@ -373,9 +373,13 @@ def _depenetrate(soup, position, velocity, params_i, state_i, iterations=4):
     m_tri0, m_normal0, m_frames0 = state_i["m_tri"], state_i["m_normal"], state_i["m_frames"]
     side_normal0, side_frames0 = state_i["side_normal"], state_i["side_frames"]
 
-    def body(_, carry):
+    def cond(carry):
+        stop, i = carry[-2], carry[-1]
+        return jnp.any(~stop) & (i < iterations)
+
+    def body(carry):
         (position, velocity, m_tri, m_normal, m_frames, side_normal, side_frames,
-         normal_sum, normal_weight, did, stop) = carry
+         normal_sum, normal_weight, did, stop, i) = carry
         hits = Q.capsule_overlap_all(soup, position, radius, half_height, mask, k=8)
         any_hit = hits.valid[0]
         stop = stop | ~any_hit
@@ -415,13 +419,13 @@ def _depenetrate(soup, position, velocity, params_i, state_i, iterations=4):
         normal_sum = normal_sum + jnp.where(act, depen_n * max_depth, 0.0)
         normal_weight = normal_weight + jnp.where(act, max_depth, 0.0)
         return (position, velocity, m_tri, m_normal, m_frames, side_normal,
-                side_frames, normal_sum, normal_weight, did, stop)
+                side_frames, normal_sum, normal_weight, did, stop, i + 1)
 
     init = (position, velocity, m_tri0, m_normal0, m_frames0, side_normal0,
             side_frames0, jnp.zeros(3), jnp.float32(0.0),
-            jnp.asarray(False), jnp.asarray(False))
+            jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
     (position, velocity, m_tri, m_normal, m_frames, side_normal, side_frames,
-     normal_sum, normal_weight, did, _) = jax.lax.fori_loop(0, iterations, body, init)
+     normal_sum, normal_weight, did, _, _) = jax.lax.while_loop(cond, body, init)
 
     avg = jnp.where(normal_weight > 1e-6, normal_sum / jnp.maximum(normal_weight, 1e-20),
                     normal_sum)
@@ -621,9 +625,15 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
     # 5. Slide loop (lax loop: body traced once, not unrolled).
     base_move_len = jnp.linalg.norm(velocity * dt)
 
-    def slide_body(_, carry):
+    def slide_cond(carry):
+        remaining, loop_done, i = carry[1], carry[-2], carry[-1]
+        live = ~loop_done & (jnp.linalg.norm(remaining) >= 1e-6)
+        return jnp.any(live) & (i < max_slide_iterations)
+
+    def slide_body(carry):
         (position, remaining, velocity, m_tri, m_normal, m_frames,
-         side_normal, side_frames, last_slide_normal, have_last, loop_done) = carry
+         side_normal, side_frames, last_slide_normal, have_last, loop_done,
+         it) = carry
         length = jnp.linalg.norm(remaining)
         it_active = ~loop_done & (length >= 1e-6)
 
@@ -687,14 +697,15 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
         have_last = have_last | (it_active & any_hit)
         loop_done = loop_done | (it_active & (~any_hit | done))
         return (position, remaining, velocity, m_tri, m_normal, m_frames,
-                side_normal, side_frames, last_slide_normal, have_last, loop_done)
+                side_normal, side_frames, last_slide_normal, have_last,
+                loop_done, it + 1)
 
     slide_init = (position, remaining, velocity, m_tri, m_normal, m_frames,
                   side_normal, side_frames, jnp.zeros(3), jnp.asarray(False),
-                  jnp.asarray(False))
+                  jnp.asarray(False), jnp.int32(0))
     (position, remaining, velocity, m_tri, m_normal, m_frames, side_normal,
-     side_frames, _, _, _) = jax.lax.fori_loop(0, max_slide_iterations,
-                                               slide_body, slide_init)
+     side_frames, _, _, _, _) = jax.lax.while_loop(slide_cond, slide_body,
+                                                   slide_init)
 
     # 6. Ground contact.
     g = _ground_contact(soup, position, velocity, params_i,

@@ -113,8 +113,17 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
     status0 = jnp.where(cand, 0, 2)
     iters0 = jnp.zeros(soup.valid.shape, jnp.int32)
 
-    def body(_, carry):
-        t, last_safe, status, iters = carry
+    # Early-exit while_loop: most casts resolve in a handful of iterations
+    # (the advance step is dist - radius, so far triangles terminate fast);
+    # the fixed budget is only the worst-case cap. Under the caller's vmap
+    # the predicate lifts to an all-lanes any(), so the batch runs exactly
+    # as long as its slowest lane needs.
+    def cond(carry):
+        _, _, status, _, i = carry
+        return jnp.any(status == 0) & (i < max_iters)
+
+    def body(carry):
+        t, last_safe, status, iters, i = carry
         advancing = status == 0
         iters = iters + advancing.astype(jnp.int32)
         over = t > length
@@ -129,10 +138,10 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
         adv = jnp.maximum(dist - radius, min_adv)
         last_safe = jnp.where(still, t, last_safe)
         t = jnp.where(still, t + adv, t)
-        return t, last_safe, new_status, iters
+        return t, last_safe, new_status, iters, i + 1
 
-    t, last_safe, status, iters = jax.lax.fori_loop(
-        0, max_iters, body, (t0, t0, status0, iters0))
+    t, last_safe, status, iters, _ = jax.lax.while_loop(
+        cond, body, (t0, t0, status0, iters0, jnp.int32(0)))
     contact = status == 1
 
     # Bisection refine on contact lanes (CollisionQuery.swift:1361-1394).
@@ -140,16 +149,22 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
     hi = jnp.maximum(jnp.clip(last_safe, 0.0, length), jnp.clip(t, 0.0, length))
     tiny = (hi - lo) < 1e-5
 
-    def refine(_, carry):
-        lo, hi = carry
+    # Refine only runs while some contact lane still has a wide bracket —
+    # a cast with no contacts skips bisection entirely.
+    def refine_cond(carry):
+        lo, hi, i = carry
+        return jnp.any(contact & ((hi - lo) >= 1e-5)) & (i < REFINE_ITERS)
+
+    def refine(carry):
+        lo, hi, i = carry
         mid = 0.5 * (lo + hi)
         center = from_pos + dir * mid[..., None]
         dist, _, _ = segment_triangle_distance(center, half_height,
                                                soup.v0, soup.v1, soup.v2)
         inside = dist <= radius
-        return jnp.where(inside, lo, mid), jnp.where(inside, mid, hi)
+        return jnp.where(inside, lo, mid), jnp.where(inside, mid, hi), i + 1
 
-    lo_r, hi_r = jax.lax.fori_loop(0, REFINE_ITERS, refine, (lo, hi))
+    lo_r, hi_r, _ = jax.lax.while_loop(refine_cond, refine, (lo, hi, jnp.int32(0)))
     toi = jnp.where(tiny, hi, hi_r)
 
     # Hit attributes at the refined TOI.

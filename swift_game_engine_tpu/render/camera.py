@@ -51,6 +51,24 @@ class Camera:
         return self.world_chunk.astype(np.float64) * 512.0 + self.world_local
 
 
+def tile_permutation(width: int, height: int, tile: int = 32):
+    """Permutation mapping scanline ray order -> 32x32 pixel tiles.
+
+    The Pallas traversal kernel processes rays in blocks of 1024; in scanline
+    order a block spans 1.6 full image rows (a huge frustum), in tile order
+    it is one compact 32x32 tile — the packet visits a far smaller subtree
+    union. Returns (perm, inv_perm) as int32 arrays of length width*height.
+    """
+    ys, xs = np.mgrid[0:height, 0:width]
+    tile_id = (ys // tile) * ((width + tile - 1) // tile) + (xs // tile)
+    within = (ys % tile) * tile + (xs % tile)
+    key = tile_id.astype(np.int64) * (tile * tile) + within
+    perm = np.argsort(key.reshape(-1), kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
 def generate_rays(inv_view_proj, camera_position, width: int, height: int):
     """Primary rays: per-pixel NDC through invViewProj
     (reference: RayTracing.metalinc:225-229).

@@ -76,7 +76,11 @@ def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
                         cam_pos, width: int, height: int, max_layers: int = 2,
                         background=BG_COLOR):
     """Raster-path frame -> (H, W, 3)."""
+    from .camera import tile_permutation
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
+    perm, inv_perm = tile_permutation(width, height)
+    ray_o = ray_o[jnp.asarray(perm)]
+    ray_d = ray_d[jnp.asarray(perm)]
     p = ray_o.shape[0]
 
     def layer_body(_, carry):
@@ -94,4 +98,4 @@ def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
     init = (ray_o, jnp.ones(p, bool), jnp.zeros((p, 3)), jnp.zeros(p))
     _, _, accum, accum_alpha = jax.lax.fori_loop(0, max_layers, layer_body, init)
     out = accum + jnp.asarray(background) * (1.0 - accum_alpha)[..., None]
-    return out.reshape(height, width, 3)
+    return out[jnp.asarray(inv_perm)].reshape(height, width, 3)

@@ -159,8 +159,12 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
     (RayTracing.metalinc:332-372)."""
     l = normalize(-light_dir)
 
-    def body(_, carry):
-        o, shadow, act = carry
+    def cond(carry):
+        _, shadow, act, layer = carry
+        return jnp.any(act & (shadow > 0.02)) & (layer < shadow_layers)
+
+    def body(carry):
+        o, shadow, act, layer = carry
         live = act & (shadow > 0.02)
         t, tri, u, v, found = _trace_batch(fg.bvh, o, jnp.broadcast_to(l, o.shape), live)
         found = found & (t < max_dist)
@@ -168,10 +172,11 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         shadow = jnp.where(found, shadow * (1.0 - a), shadow)
         sh_pos = o + l * t[..., None]
         o = jnp.where(found[..., None], sh_pos + l * (bias * 2.0)[..., None], o)
-        return o, shadow, live & found
+        return o, shadow, live & found, layer + 1
 
-    init = (hit_pos + n * bias[..., None], jnp.ones(hit_pos.shape[0]), active)
-    _, shadow, _ = jax.lax.fori_loop(0, shadow_layers, body, init)
+    init = (hit_pos + n * bias[..., None], jnp.ones(hit_pos.shape[0]), active,
+            jnp.int32(0))
+    _, shadow, _, _ = jax.lax.while_loop(cond, body, init)
     return shadow
 
 
@@ -249,11 +254,16 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  shadow_layers: int = 4, enable_mirror: bool = True,
                  enable_refraction: bool = True):
     """Full RT frame -> (H, W, 3) linear color (rgba16f-equivalent range)."""
-    from .camera import generate_rays
+    from .camera import generate_rays, tile_permutation
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
-    out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o, ray_d,
+    # Tile-coherent packet order (see camera.tile_permutation); colors are
+    # un-permuted at the end.
+    perm, inv_perm = tile_permutation(width, height)
+    perm = jnp.asarray(perm)
+    out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o[perm], ray_d[perm],
                        max_layers, shadow_layers, enable_mirror,
                        enable_refraction)
+    out = out[jnp.asarray(inv_perm)]
     gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
                           jnp.arange(height, dtype=jnp.float32))
     noise = hash12(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
@@ -278,8 +288,12 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     o, d = ray_o, ray_d
     live0 = jnp.ones(p, bool)
 
-    def layer_body(_, carry):
-        o, live, accum, accum_alpha = carry
+    def layer_cond(carry):
+        _, live, _, accum_alpha, layer = carry
+        return jnp.any(live & (accum_alpha < 0.99)) & (layer < max_layers)
+
+    def layer_body(carry):
+        o, live, accum, accum_alpha, layer = carry
         live = live & (accum_alpha < 0.99)
         t, tri, u, v, found = _trace_batch(fg.bvh, o, d, live)
         color, m, n, hit_pos, bias = _shade_hit(
@@ -287,20 +301,27 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             True, shadow_layers)
 
         if enable_mirror:
+            # Secondary traversal + shade runs only when some lane actually
+            # needs a mirror bounce (lax.cond executes one branch at runtime
+            # for unbatched predicates — most layers have zero mirror lanes).
             mirror = found & (m["roughness"] <= 0.08) & (m["metallic"] >= 0.8)
-            r_dir = normalize(reflect(d, n))
-            r_o = hit_pos + n * bias[..., None]
-            rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, mirror)
-            r_color, r_m, _, _, _ = _shade_hit(
-                geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
-                rfound, False, shadow_layers)
-            refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
-            refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
-                + BG_COLOR * (1.0 - refl_alpha)[..., None]
-            nov = jnp.clip(jnp.sum(n * normalize(-d), axis=-1), 0.0, 1.0)
-            f0 = 0.04 * (1.0 - m["metallic"][..., None]) + m["base"] * m["metallic"][..., None]
-            f = fresnel_schlick3(nov, f0)
-            color = jnp.where(mirror[..., None], color * (1.0 - f) + refl * f, color)
+
+            def do_mirror(color):
+                r_dir = normalize(reflect(d, n))
+                r_o = hit_pos + n * bias[..., None]
+                rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, mirror)
+                r_color, r_m, _, _, _ = _shade_hit(
+                    geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
+                    rfound, False, shadow_layers)
+                refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
+                refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
+                    + BG_COLOR * (1.0 - refl_alpha)[..., None]
+                nov = jnp.clip(jnp.sum(n * normalize(-d), axis=-1), 0.0, 1.0)
+                f0 = 0.04 * (1.0 - m["metallic"][..., None]) + m["base"] * m["metallic"][..., None]
+                f = fresnel_schlick3(nov, f0)
+                return jnp.where(mirror[..., None], color * (1.0 - f) + refl * f, color)
+
+            color = jax.lax.cond(jnp.any(mirror), do_mirror, lambda c: c, color)
 
         if enable_refraction:
             transmissive = found & (m["transmission"] > 0.001)
@@ -312,23 +333,27 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             t_dir = refract(-view, n_r, eta)
             t_len = jnp.linalg.norm(t_dir, axis=-1)
             has_t = transmissive & (t_len > 0)
-            t_dir_n = t_dir / jnp.maximum(t_len[..., None], 1e-20)
-            t_o = hit_pos + t_dir * bias[..., None]
-            ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, has_t)
-            f_color, f_m, _, _, _ = _shade_hit(
-                geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
-                ffound, False, shadow_layers)
-            refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
-            refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
-            refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
-                + refr_bg * (1.0 - refr_alpha)[..., None]
-            f_s = fresnel_schlick(jnp.clip(jnp.sum(n * view, axis=-1), 0.0, 1.0),
-                                  jnp.float32(0.04))[..., None]
-            trans_color = refr * m["base"]
-            mix_color = trans_color * (1.0 - f_s) + color * f_s
-            color = jnp.where(has_t[..., None],
-                              color + (mix_color - color) * m["transmission"][..., None],
-                              color)
+
+            def do_refraction(color):
+                t_dir_n = t_dir / jnp.maximum(t_len[..., None], 1e-20)
+                t_o = hit_pos + t_dir * bias[..., None]
+                ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, has_t)
+                f_color, f_m, _, _, _ = _shade_hit(
+                    geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
+                    ffound, False, shadow_layers)
+                refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
+                refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
+                refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
+                    + refr_bg * (1.0 - refr_alpha)[..., None]
+                f_s = fresnel_schlick(jnp.clip(jnp.sum(n * view, axis=-1), 0.0, 1.0),
+                                      jnp.float32(0.04))[..., None]
+                trans_color = refr * m["base"]
+                mix_color = trans_color * (1.0 - f_s) + color * f_s
+                return jnp.where(has_t[..., None],
+                                 color + (mix_color - color) * m["transmission"][..., None],
+                                 color)
+
+            color = jax.lax.cond(jnp.any(has_t), do_refraction, lambda c: c, color)
 
         one_minus = (1.0 - accum_alpha)
         contrib = jnp.where(found, m["alpha"] * one_minus, 0.0)
@@ -336,9 +361,9 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         accum_alpha = accum_alpha + contrib
 
         o = jnp.where(found[..., None], hit_pos + d * (bias * 2.0)[..., None], o)
-        return o, live & found, accum, accum_alpha
+        return o, live & found, accum, accum_alpha, layer + 1
 
-    _, _, accum, accum_alpha = jax.lax.fori_loop(
-        0, max_layers, layer_body, (o, live0, accum, accum_alpha))
+    _, _, accum, accum_alpha, _ = jax.lax.while_loop(
+        layer_cond, layer_body, (o, live0, accum, accum_alpha, jnp.int32(0)))
 
     return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]

@@ -1,0 +1,83 @@
+"""Render path regression tests (tiny resolution, CPU, pure-JAX traversal)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swift_game_engine_tpu.assets import procedural_meshes as pm
+from swift_game_engine_tpu.assets.materials import Material
+from swift_game_engine_tpu.render.scene_geometry import RenderGeometryBuilder, flatten_frame
+from swift_game_engine_tpu.render import rt as RT
+from swift_game_engine_tpu.render.raster import render_frame_raster
+from swift_game_engine_tpu.render.ibl import IBL
+from swift_game_engine_tpu.render.camera import Camera
+
+W, H = 32, 24
+
+
+@pytest.fixture(scope="module")
+def scene():
+    b = RenderGeometryBuilder(texture_size=16)
+    b.add_static_mesh(pm.plane(40.0), Material(
+        name="ground", base_color_factor=(0.5, 0.5, 0.5), roughness_factor=0.9),
+        instance=0)
+    b.add_static_mesh(pm.box(3.0), Material(
+        name="red", base_color_factor=(0.8, 0.1, 0.1), roughness_factor=0.4),
+        instance=1)
+    b.add_static_mesh(pm.box(2.0), Material(
+        name="glow", base_color_factor=(0, 0, 0), emissive_factor=(3.0, 0.2, 0.2),
+        unlit=True), instance=2)
+    geo = b.build()
+    tf = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    tf[1, :3, 3] = [0, 1.5, 0]
+    tf[2, :3, 3] = [5, 1.0, 0]
+    fg = flatten_frame(geo, jnp.asarray(tf), jnp.zeros((1, 1, 4, 4)))
+    cam = Camera()
+    cam.position = np.array([0.0, 4.0, 10.0], np.float32)
+    cam.target = np.array([0.0, 1.0, 0.0], np.float32)
+    ivp = cam.inv_view_proj(W, H)
+    return geo, fg, cam, ivp
+
+
+def test_rt_frame(scene):
+    geo, fg, cam, ivp = scene
+    ibl = IBL.build()
+    lights = RT.DirectionalLights.default_sun()
+    img = np.asarray(jax.jit(lambda: RT.render_frame(
+        geo, fg, ibl, lights, ivp, cam.position, W, H,
+        max_layers=2, shadow_layers=1))())
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(img).all()
+    # sky in the top rows is the dark background
+    np.testing.assert_allclose(img[0].mean(axis=0), [0.02, 0.02, 0.03], atol=0.02)
+    # box in view center is predominantly red
+    center = img[H // 2 - 2:H // 2 + 2, W // 2 - 2:W // 2 + 2].mean(axis=(0, 1))
+    assert center[0] > center[1] * 1.5 and center[0] > center[2] * 1.5
+    # ground at the bottom is lit gray (non-trivially bright)
+    assert img[-2].mean() > 0.1
+
+
+def test_raster_frame_matches_material_model(scene):
+    geo, fg, cam, ivp = scene
+    img = np.asarray(jax.jit(lambda: render_frame_raster(
+        geo, fg, ivp, cam.position, W, H, max_layers=1))())
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(img).all()
+    center = img[H // 2 - 2:H // 2 + 2, W // 2 - 2:W // 2 + 2].mean(axis=(0, 1))
+    assert center[0] > center[1] * 1.5  # red box
+    # unlit emissive box on the right edge of view should be bright red
+    right = img[:, int(W * 0.85):].reshape(-1, 3)
+    assert right[:, 0].max() > 0.9
+
+
+def test_rt_emissive_unshaded(scene):
+    geo, fg, cam, ivp = scene
+    ibl = IBL.build()
+    lights = RT.DirectionalLights.default_sun()
+    img = np.asarray(jax.jit(lambda: RT.render_frame(
+        geo, fg, ibl, lights, ivp, cam.position, W, H,
+        max_layers=1, shadow_layers=1, enable_mirror=False,
+        enable_refraction=False))())
+    right = img[:, int(W * 0.8):].reshape(-1, 3)
+    assert right[:, 0].max() > 1.5  # emissive 3.0 shows pre-tonemap
