@@ -46,9 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 # Rays per program. One (8,128) VPU tile per 1024; larger blocks amortize
 # the per-node loop overhead (the kernel is overhead-bound, not ALU-bound)
 # at the cost of a larger per-packet subtree union. Tunable for experiments.
-BLOCK = int(os.environ.get("SGE_RT_BLOCK", "1024"))
+BLOCK = int(os.environ.get("SGE_RT_BLOCK", "4096"))
 assert BLOCK % 1024 == 0, "BLOCK must be a multiple of 1024"
 _SUB = 8 * (BLOCK // 1024)   # sublane rows per ray operand
+# Timing-only knob: skip leaf triangle tests (WRONG results — used to
+# attribute kernel time between traversal control and leaf intersection).
+_PROFILE_NOLEAF = os.environ.get("SGE_RT_PROFILE_NOLEAF") == "1"
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
@@ -170,8 +173,11 @@ def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 trib = jnp.where(hit, tri_id, trib)
             return tb, trib
 
-        t_best, tri_best = jax.lax.cond(
-            is_leaf & any_hit, do_leaf, lambda args: args, (t_best, tri_best))
+        if _PROFILE_NOLEAF:
+            t_best = jnp.where(is_leaf & any_hit, t_best * 1.0000001, t_best)
+        else:
+            t_best, tri_best = jax.lax.cond(
+                is_leaf & any_hit, do_leaf, lambda args: args, (t_best, tri_best))
 
         descend = any_hit & jnp.logical_not(is_leaf)
         node = jnp.where(descend, node + 1, s(6).astype(jnp.int32))

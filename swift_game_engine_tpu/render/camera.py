@@ -51,14 +51,18 @@ class Camera:
         return self.world_chunk.astype(np.float64) * 512.0 + self.world_local
 
 
-def tile_permutation(width: int, height: int, tile: int = 32):
-    """Permutation mapping scanline ray order -> 32x32 pixel tiles.
+def tile_permutation(width: int, height: int, tile: int | None = None):
+    """Permutation mapping scanline ray order -> square pixel tiles.
 
-    The Pallas traversal kernel processes rays in blocks of 1024; in scanline
-    order a block spans 1.6 full image rows (a huge frustum), in tile order
-    it is one compact 32x32 tile — the packet visits a far smaller subtree
-    union. Returns (perm, inv_perm) as int32 arrays of length width*height.
+    The Pallas traversal kernel processes rays in blocks of BLOCK; in
+    scanline order a block spans several full image rows (a huge frustum),
+    in tile order it is one compact sqrt(BLOCK)-square tile — the packet
+    visits a far smaller subtree union. Returns (perm, inv_perm) as int32
+    arrays of length width*height.
     """
+    if tile is None:
+        from ..ops.rt_kernel import BLOCK
+        tile = max(int(np.sqrt(BLOCK)), 8)
     ys, xs = np.mgrid[0:height, 0:width]
     tile_id = (ys // tile) * ((width + tile - 1) // tile) + (xs // tile)
     within = (ys % tile) * tile + (xs % tile)

@@ -29,6 +29,24 @@ FIXED_DT = 1.0 / 60.0
 MAX_SUBSTEPS = 4
 
 
+def save_world_state(path: str, state, **scalars):
+    """Checkpoint a WorldState pytree (+ host scalars) to one .npz."""
+    flat, _ = jax.tree.flatten(state)
+    np.savez(path, *[np.asarray(x) for x in flat], **scalars)
+
+
+def load_world_state(path: str, like_state):
+    """Restore a WorldState saved by save_world_state.
+
+    ``like_state`` provides the pytree structure. Returns (state, npz_data)
+    so callers can read back their scalars.
+    """
+    data = np.load(path)
+    flat, treedef = jax.tree.flatten(like_state)
+    arrays = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, arrays), data
+
+
 class Engine:
     def __init__(self, scene: dict, width=640, height=360, path="rt",
                  rt_resolution_scale=1.0, max_layers=3, shadow_layers=4):
@@ -161,15 +179,11 @@ class Engine:
     # makes it trivial here. One .npz holds the entire simulation.
 
     def save_state(self, path: str):
-        flat, treedef = jax.tree.flatten(self.state)
-        np.savez(path, *[np.asarray(x) for x in flat],
-                 accumulator=self.accumulator, time=self.time)
+        save_world_state(path, self.state,
+                         accumulator=self.accumulator, time=self.time)
 
     def load_state(self, path: str):
-        data = np.load(path)
-        flat, treedef = jax.tree.flatten(self.state)
-        arrays = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
-        self.state = jax.tree.unflatten(treedef, arrays)
+        self.state, data = load_world_state(path, self.state)
         self.accumulator = float(data["accumulator"])
         self.time = float(data["time"])
 

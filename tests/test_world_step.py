@@ -1,6 +1,7 @@
 """Integration: world builder + stepper on a minimal scene (CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -106,3 +107,29 @@ def test_jump(tiny):
     for _ in range(10):
         state = stepper.substep(state, DT)
     assert float(state.body_pos[player][1]) > 0.0   # airborne
+
+
+def test_checkpoint_roundtrip(tiny, tmp_path):
+    """save_world_state/load_world_state restore an exact, deterministic sim."""
+    from swift_game_engine_tpu.scene.engine import (save_world_state,
+                                                    load_world_state)
+    spec, state, stepper, player, plat = tiny
+    for _ in range(30):
+        state = stepper.substep(state, DT)
+    p = str(tmp_path / "ckpt.npz")
+    save_world_state(p, state, time=0.5)
+
+    cont = state
+    for _ in range(30):
+        cont = stepper.substep(cont, DT)
+
+    restored, data = load_world_state(p, state)
+    assert float(data["time"]) == 0.5
+    for _ in range(30):
+        restored = stepper.substep(restored, DT)
+
+    # bit-identical continuation: same jitted program, same inputs
+    a = jax.tree.flatten(cont)[0]
+    b = jax.tree.flatten(restored)[0]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
