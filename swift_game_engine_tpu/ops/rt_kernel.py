@@ -55,7 +55,12 @@ _PROFILE_NOLEAF = os.environ.get("SGE_RT_PROFILE_NOLEAF") == "1"
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
-SLOT_N = 12            # triangles inlined per leaf row (8 + 9*12 + 12 = 128)
+# Triangles inlined per leaf row; 12 fills the row exactly (8 + 9*12 + 12 =
+# 128 lanes). Smaller leaves trade per-visit intersection work for a deeper
+# tree (env-tunable for experiments; the tree must be built with matching
+# leaf_size — scene_geometry reads this constant).
+SLOT_N = int(os.environ.get("SGE_RT_LEAF", "12"))
+assert 1 <= SLOT_N <= 12
 
 
 class KernelBVH(NamedTuple):

@@ -50,16 +50,23 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
     """
     from ..render import rt as RT
     from ..render.scene_geometry import flatten_frame
-    from ..render.camera import generate_rays
+    from ..render.camera import generate_rays, tile_permutation
 
     axis = mesh.axis_names[0]
     ray_sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
+    # Tile-coherent packet order (static): each device's contiguous shard is
+    # a run of square pixel tiles, so its Pallas packets stay coherent.
+    perm_np, inv_np = tile_permutation(width, height)
+    perm = jnp.asarray(perm_np)
+    inv_perm = jnp.asarray(inv_np)
 
     @partial(jax.jit, out_shardings=rep)
     def render(transforms, palettes, ivp, cam_pos):
         fg = flatten_frame(geo, transforms, palettes)
         o, d = generate_rays(ivp, cam_pos, width, height)
+        o = o[perm]
+        d = d[perm]
         n = o.shape[0]
         n_dev = mesh.devices.size
         pad = (-n) % n_dev
@@ -70,7 +77,7 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
         d = jax.lax.with_sharding_constraint(d, ray_sh)
         img = RT._render_rays(geo, fg, ibl, lights, cam_pos, o, d,
                               max_layers, shadow_layers, True, True)
-        img = img[:n]
+        img = img[:n][inv_perm]
         return img.reshape(height, width, 3)
 
     return render

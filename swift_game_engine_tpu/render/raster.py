@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..math3d import normalize
 from .rt import _trace_batch, _interp, _sample_material, BG_COLOR
+from .scene_geometry import texture_usage
 from .scene_geometry import SceneGeometry, FrameGeometry
 from .shading import tone_map_aces, hash12, apply_normal_map
 from .textures import sample_bilinear
@@ -32,30 +33,39 @@ from .camera import generate_rays
 RASTER_L = jnp.array([-0.2, 1.0, -0.4]) / jnp.linalg.norm(jnp.array([-0.2, 1.0, -0.4]))
 
 
-def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v, active):
+def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v,
+                  active, usage):
     """Fragment shading per ShadersRaster.metalinc:56-101."""
     t = jnp.where(active, t, 1.0)
     safe_tri = jnp.maximum(tri, 0)
     tri_v = geo.tri[safe_tri]
     uv = _interp(geo.uv, tri_v, u, v)
-    m = _sample_material(geo, tri, uv)
+    m = _sample_material(geo, tri, uv, usage)
     mats = geo.materials
     mid = m["mid"]
 
     albedo = m["base"]
     alpha = m["alpha"]
     emissive = m["emissive"]
-    occ_t = sample_bilinear(geo.textures, mats.occlusion_tex[mid], uv, jnp.ones(4))[..., 0]
-    occlusion = 1.0 + (occ_t - 1.0) * jnp.clip(mats.occlusion_strength[mid], 0.0, 1.0)
+    if usage.occlusion:
+        occ_t = sample_bilinear(geo.textures, mats.occlusion_tex[mid], uv,
+                                jnp.ones(4))[..., 0]
+        occlusion = 1.0 + (occ_t - 1.0) * jnp.clip(mats.occlusion_strength[mid],
+                                                   0.0, 1.0)
+    else:
+        occlusion = jnp.ones_like(alpha)
 
     n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
-    tan4 = _interp(fg.tan, tri_v, u, v)
-    tan = normalize(tan4[..., :3])
     view = normalize(-d)
-    n_tex = sample_bilinear(geo.textures, mats.normal_tex[mid], uv,
-                            jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
-    n = apply_normal_map(n_vert, n_vert, tan, jnp.sign(tan4[..., 3]),
-                         n_tex, mats.normal_scale[mid], view)
+    if usage.normal:
+        tan4 = _interp(fg.tan, tri_v, u, v)
+        tan = normalize(tan4[..., :3])
+        n_tex = sample_bilinear(geo.textures, mats.normal_tex[mid], uv,
+                                jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
+        n = apply_normal_map(n_vert, n_vert, tan, jnp.sign(tan4[..., 3]),
+                             n_tex, mats.normal_scale[mid], view)
+    else:
+        n = n_vert
 
     nl = jnp.clip(jnp.sum(n * RASTER_L, axis=-1), 0.0, 1.0) * 0.85 + 0.15
     lit = albedo * (nl * occlusion)[..., None] + emissive
@@ -77,6 +87,7 @@ def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
                         background=BG_COLOR):
     """Raster-path frame -> (H, W, 3)."""
     from .camera import tile_permutation
+    usage = texture_usage(geo)
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
     perm, inv_perm = tile_permutation(width, height)
     ray_o = ray_o[jnp.asarray(perm)]
@@ -87,7 +98,7 @@ def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
         o, live, accum, accum_alpha = carry
         live = live & (accum_alpha < 0.99)
         t, tri, u, v, found = _trace_batch(fg.bvh, o, ray_d, live)
-        color, alpha, hit_pos = _raster_shade(geo, fg, o, ray_d, t, tri, u, v, found)
+        color, alpha, hit_pos = _raster_shade(geo, fg, o, ray_d, t, tri, u, v, found, usage)
         contrib = jnp.where(found, alpha * (1.0 - accum_alpha), 0.0)
         accum = accum + color * contrib[..., None]
         accum_alpha = accum_alpha + contrib

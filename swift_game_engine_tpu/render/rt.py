@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..math3d import normalize
 from . import bvh as B
 from .ibl import IBL, eval_env_sh, eval_spec_ibl, sample_env
-from .scene_geometry import SceneGeometry, FrameGeometry
+from .scene_geometry import (SceneGeometry, FrameGeometry,
+                             texture_usage, TextureUsage)
 from .shading import (eval_brdf, fresnel_schlick, fresnel_schlick3,
                       shadow_bias, hash12, apply_normal_map, reflect, refract)
 from .textures import sample_bilinear
@@ -36,6 +37,9 @@ from .textures import sample_bilinear
 BG_COLOR = jnp.array([0.02, 0.02, 0.03])
 AMBIENT_INTENSITY = 0.25  # RayTracingRenderer.swift:82
 BIG = jnp.float32(3.0e38)
+# No-specialization fallback: sample every slot (used when callers pass
+# usage=None, e.g. direct API use outside render_frame).
+FULL_USAGE = TextureUsage(True, True, True, True, True, True)
 
 
 class DirectionalLights(NamedTuple):
@@ -110,8 +114,11 @@ def _interp(attr, tri_v, u, v):
         + attr[tri_v[:, 2]] * v[..., None]
 
 
-def _sample_material(geo: SceneGeometry, tri, uv):
-    """PBR material sample per hit (RayTracing.metalinc:132-176)."""
+def _sample_material(geo: SceneGeometry, tri, uv, usage):
+    """PBR material sample per hit (RayTracing.metalinc:132-176).
+
+    ``usage`` (static TextureUsage) prunes texture taps for slots no scene
+    material binds — each bilinear sample is 4 HBM gathers per lane."""
     mats = geo.materials
     mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
     base = mats.base_color[mid]
@@ -124,16 +131,20 @@ def _sample_material(geo: SceneGeometry, tri, uv):
     ior = jnp.maximum(mats.ior[mid], 1.0)
 
     white = jnp.ones(4)
-    base_t = sample_bilinear(geo.textures, mats.base_tex[mid], uv, white)
-    base = base * base_t[..., :3]
-    alpha = alpha * base_t[..., 3]
-    mr_t = sample_bilinear(geo.textures, mats.mr_tex[mid], uv, white)
-    roughness = roughness * mr_t[..., 1]
-    metallic = metallic * mr_t[..., 2]
-    em_t = sample_bilinear(geo.textures, mats.emissive_tex[mid], uv, white)
-    emissive = emissive * em_t[..., :3]
-    oc_t = sample_bilinear(geo.textures, mats.occlusion_tex[mid], uv, white)
-    occlusion = occlusion * oc_t[..., 0]
+    if usage.base:
+        base_t = sample_bilinear(geo.textures, mats.base_tex[mid], uv, white)
+        base = base * base_t[..., :3]
+        alpha = alpha * base_t[..., 3]
+    if usage.mr:
+        mr_t = sample_bilinear(geo.textures, mats.mr_tex[mid], uv, white)
+        roughness = roughness * mr_t[..., 1]
+        metallic = metallic * mr_t[..., 2]
+    if usage.emissive:
+        em_t = sample_bilinear(geo.textures, mats.emissive_tex[mid], uv, white)
+        emissive = emissive * em_t[..., :3]
+    if usage.occlusion:
+        oc_t = sample_bilinear(geo.textures, mats.occlusion_tex[mid], uv, white)
+        occlusion = occlusion * oc_t[..., 0]
 
     return dict(base=base, alpha=alpha, metallic=metallic, roughness=roughness,
                 emissive=emissive, occlusion=occlusion,
@@ -142,11 +153,15 @@ def _sample_material(geo: SceneGeometry, tri, uv):
                 normal_scale=mats.normal_scale[mid], mid=mid)
 
 
-def _sample_alpha(geo: SceneGeometry, tri, u, v):
-    """Shadow-filter alpha (RayTracing.metalinc:178-195)."""
+def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
+    """Shadow-filter alpha (RayTracing.metalinc:178-195). When no bound
+    base texture carries alpha < 1 the material factor alone is exact and
+    the 4-tap texture gather is skipped (static specialization)."""
     mats = geo.materials
     mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
     alpha = jnp.clip(mats.alpha[mid], 0.0, 1.0)
+    if not (usage.base and usage.alpha_tex):
+        return alpha
     tri_v = geo.tri[jnp.maximum(tri, 0)]
     uv = _interp(geo.uv, tri_v, u, v)
     base_t = sample_bilinear(geo.textures, mats.base_tex[mid], uv, jnp.ones(4))
@@ -154,10 +169,12 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v):
 
 
 def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
-                   bias, active, shadow_layers: int):
+                   bias, active, shadow_layers: int, usage=None):
     """Alpha-filtered shadow ray toward a directional light
     (RayTracing.metalinc:332-372)."""
     l = normalize(-light_dir)
+    if usage is None:
+        usage = FULL_USAGE
 
     def cond(carry):
         _, shadow, act, layer = carry
@@ -168,7 +185,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         live = act & (shadow > 0.02)
         t, tri, u, v, found = _trace_batch(fg.bvh, o, jnp.broadcast_to(l, o.shape), live)
         found = found & (t < max_dist)
-        a = _sample_alpha(geo, tri, u, v)
+        a = _sample_alpha(geo, tri, u, v, usage)
         shadow = jnp.where(found, shadow * (1.0 - a), shadow)
         sh_pos = o + l * t[..., None]
         o = jnp.where(found[..., None], sh_pos + l * (bias * 2.0)[..., None], o)
@@ -180,15 +197,17 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
     return shadow
 
 
-@partial(jax.jit, static_argnames=("with_ibl_spec", "shadow_layers"))
+@partial(jax.jit, static_argnames=("with_ibl_spec", "shadow_layers", "usage"))
 def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
                cam_pos, ray_o, ray_d, t_hit, tri, u, v, active,
-               with_ibl_spec: bool, shadow_layers: int):
+               with_ibl_spec: bool, shadow_layers: int, usage=None):
     """Shade one hit batch. Returns (color, m, n_shade, hit_pos, bias).
 
     Inactive/missed lanes are sanitized (t := 1) and their color forced to 0
     so downstream arithmetic can't propagate inf/NaN through `x * 0`.
     """
+    if usage is None:
+        usage = FULL_USAGE
     t_hit = jnp.where(active, t_hit, 1.0)
     safe_tri = jnp.maximum(tri, 0)
     tri_v = geo.tri[safe_tri]
@@ -201,19 +220,23 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 
     view = normalize(-ray_d)
     uv = _interp(geo.uv, tri_v, u, v)
-    m = _sample_material(geo, tri, uv)
+    m = _sample_material(geo, tri, uv, usage)
 
-    # Tangent-space normal mapping (RayTracing.metalinc:283-316).
-    n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
-    tan4 = _interp(fg.tan, tri_v, u, v)
-    tan = normalize(tan4[..., :3])
-    n_tex = sample_bilinear(geo.textures, m["normal_tex"], uv,
-                            jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
-    n_mapped = apply_normal_map(n_geom, n_vert, tan, jnp.sign(tan4[..., 3]),
-                                n_tex, m["normal_scale"], view)
-    n_mapped = jnp.where(jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
-                         -n_mapped, n_mapped)
-    n = jnp.where((m["normal_tex"] >= 0)[..., None], n_mapped, n_geom)
+    # Tangent-space normal mapping (RayTracing.metalinc:283-316); skipped
+    # statically when no scene material binds a normal map.
+    if usage.normal:
+        n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
+        tan4 = _interp(fg.tan, tri_v, u, v)
+        tan = normalize(tan4[..., :3])
+        n_tex = sample_bilinear(geo.textures, m["normal_tex"], uv,
+                                jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
+        n_mapped = apply_normal_map(n_geom, n_vert, tan, jnp.sign(tan4[..., 3]),
+                                    n_tex, m["normal_scale"], view)
+        n_mapped = jnp.where(jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
+                             -n_mapped, n_mapped)
+        n = jnp.where((m["normal_tex"] >= 0)[..., None], n_mapped, n_geom)
+    else:
+        n = n_geom
 
     hit_pos = ray_o + ray_d * t_hit[..., None]
     bias = shadow_bias(t_hit)
@@ -228,7 +251,8 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         gate = active & lights.enabled[i] & (cam_dist <= max_dist) & (ndotl > 0)
         if i == 0:
             shadow = _shadow_factor(geo, fg, hit_pos, n, lights.direction[i],
-                                    max_dist, bias, gate, shadow_layers)
+                                    max_dist, bias, gate, shadow_layers,
+                                    usage)
         else:
             shadow = jnp.ones_like(ndotl)
         brdf = eval_brdf(n, view, jnp.broadcast_to(l, n.shape),
@@ -282,6 +306,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     partitions this over the device mesh)."""
     p = ray_o.shape[0]
     cam = jnp.asarray(cam_pos, jnp.float32)
+    usage = texture_usage(geo)  # static: geo is concrete at trace time
 
     accum = jnp.zeros((p, 3))
     accum_alpha = jnp.zeros(p)
@@ -298,7 +323,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         t, tri, u, v, found = _trace_batch(fg.bvh, o, d, live)
         color, m, n, hit_pos, bias = _shade_hit(
             geo, fg, ibl, lights, cam, o, d, t, tri, u, v, found,
-            True, shadow_layers)
+            True, shadow_layers, usage=usage)
 
         if enable_mirror:
             # Secondary traversal + shade runs only when some lane actually
@@ -312,7 +337,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, mirror)
                 r_color, r_m, _, _, _ = _shade_hit(
                     geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
-                    rfound, False, shadow_layers)
+                    rfound, False, shadow_layers, usage=usage)
                 refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
                 refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
                     + BG_COLOR * (1.0 - refl_alpha)[..., None]
@@ -340,7 +365,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, has_t)
                 f_color, f_m, _, _, _ = _shade_hit(
                     geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
-                    ffound, False, shadow_layers)
+                    ffound, False, shadow_layers, usage=usage)
                 refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
                 refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
                 refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \

@@ -55,6 +55,52 @@ class MaterialTable(NamedTuple):
     occlusion_tex: jnp.ndarray
 
 
+class TextureUsage(NamedTuple):
+    """Static (hashable) per-scene texture-slot usage, used to specialize
+    the traced shading code: slots no scene material binds skip their
+    gather-heavy bilinear samples entirely. ``alpha_tex`` is True only if
+    some bound base texture actually carries alpha < 1 (otherwise the
+    shadow filter needs no texture taps at all)."""
+
+    base: bool
+    mr: bool
+    emissive: bool
+    occlusion: bool
+    normal: bool
+    alpha_tex: bool
+
+
+_USAGE_CACHE: dict = {}
+
+
+def texture_usage(geo: "SceneGeometry") -> TextureUsage:
+    """Compute (and memoize) TextureUsage for a concrete SceneGeometry.
+
+    Must be called where ``geo`` holds concrete arrays (closure constants
+    at trace time) — the result is a static Python value.
+    """
+    key = id(geo.materials)
+    hit = _USAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mats = geo.materials
+
+    def used(ids):
+        return bool(np.any(np.asarray(ids) >= 0))
+
+    base_ids = np.asarray(mats.base_tex)
+    alpha_tex = False
+    if np.any(base_ids >= 0):
+        amin = np.asarray(geo.textures.data)[..., 3].min(axis=(1, 2))
+        alpha_tex = bool(amin[base_ids[base_ids >= 0]].min() < 0.999)
+    usage = TextureUsage(base=used(mats.base_tex), mr=used(mats.mr_tex),
+                         emissive=used(mats.emissive_tex),
+                         occlusion=used(mats.occlusion_tex),
+                         normal=used(mats.normal_tex), alpha_tex=alpha_tex)
+    _USAGE_CACHE[key] = usage
+    return usage
+
+
 class SceneGeometry(NamedTuple):
     """Static packing; world-space arrays come from flatten_frame."""
 
@@ -242,11 +288,13 @@ class RenderGeometryBuilder:
         # Python Morton/radix build otherwise.
         try:
             from .bvh_native import build_bvh_sah
-            topo = build_bvh_sah(tmin, tmax)
+            from ..ops.rt_kernel import SLOT_N
+            topo = build_bvh_sah(tmin, tmax, leaf_size=SLOT_N)
         except Exception as e:  # pragma: no cover - toolchain dependent
             print(f"scene_geometry: native BVH builder unavailable ({e}); "
                   "using Morton build")
-            topo = B.build_bvh_morton(tmin, tmax)
+            from ..ops.rt_kernel import SLOT_N
+            topo = B.build_bvh_morton(tmin, tmax, leaf_size=SLOT_N)
 
         return SceneGeometry(
             static_pos=jnp.asarray(static_pos),
