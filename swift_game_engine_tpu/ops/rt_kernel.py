@@ -28,7 +28,7 @@ Row layout (f32 lanes):
   [0:3]  bmin            [3:6]  bmax
   [6]    skip link       [7]    leaf flag
   [8+9j : 17+9j] triangle j as (a, b-a, c-a), j in 0..SLOT_N-1
-  [116+j] triangle j's original id (-1 if empty)
+  [8+9*SLOT_N + j] triangle j's original id (-1 if empty)
 """
 
 from __future__ import annotations
@@ -152,9 +152,10 @@ def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def do_leaf(args):
             tb, trib = args
+            ids_base = 8 + 9 * SLOT_N
             for j in range(SLOT_N):
                 base = 8 + 9 * j
-                tri_id = row[0, 116 + j]
+                tri_id = row[0, ids_base + j]
                 valid = tri_id >= 0
                 ax, ay, az = s(base), s(base + 1), s(base + 2)
                 e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)

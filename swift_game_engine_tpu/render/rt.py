@@ -121,22 +121,27 @@ def _sample_material(geo: SceneGeometry, tri, uv, usage):
     material binds — each bilinear sample is 4 HBM gathers per lane."""
     mats = geo.materials
     mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
-    base = mats.base_color[mid]
-    alpha = jnp.clip(mats.alpha[mid], 0.0, 1.0)
-    metallic = jnp.clip(mats.metallic[mid], 0.0, 1.0)
-    roughness = jnp.clip(mats.roughness[mid], 0.05, 1.0)
-    emissive = mats.emissive[mid]
-    occlusion = jnp.clip(mats.occlusion_strength[mid], 0.0, 1.0)
-    transmission = jnp.clip(mats.transmission[mid], 0.0, 1.0)
-    ior = jnp.maximum(mats.ior[mid], 1.0)
+    row = mats.packed[mid]                      # (P,16): ONE gather per hit
+    base = row[..., 0:3]
+    alpha = jnp.clip(row[..., 3], 0.0, 1.0)
+    metallic = jnp.clip(row[..., 4], 0.0, 1.0)
+    roughness = jnp.clip(row[..., 5], 0.05, 1.0)
+    emissive = row[..., 6:9]
+    occlusion = jnp.clip(row[..., 9], 0.0, 1.0)
+    transmission = jnp.clip(row[..., 10], 0.0, 1.0)
+    ior = jnp.maximum(row[..., 11], 1.0)
+    normal_scale = row[..., 12]
+    base_tex = row[..., 13].astype(jnp.int32)
+    normal_tex = row[..., 14].astype(jnp.int32)
+    mr_tex = row[..., 15].astype(jnp.int32)
 
     white = jnp.ones(4)
     if usage.base:
-        base_t = sample_bilinear(geo.textures, mats.base_tex[mid], uv, white)
+        base_t = sample_bilinear(geo.textures, base_tex, uv, white)
         base = base * base_t[..., :3]
         alpha = alpha * base_t[..., 3]
     if usage.mr:
-        mr_t = sample_bilinear(geo.textures, mats.mr_tex[mid], uv, white)
+        mr_t = sample_bilinear(geo.textures, mr_tex, uv, white)
         roughness = roughness * mr_t[..., 1]
         metallic = metallic * mr_t[..., 2]
     if usage.emissive:
@@ -149,8 +154,8 @@ def _sample_material(geo: SceneGeometry, tri, uv, usage):
     return dict(base=base, alpha=alpha, metallic=metallic, roughness=roughness,
                 emissive=emissive, occlusion=occlusion,
                 transmission=transmission, ior=ior,
-                normal_tex=mats.normal_tex[mid],
-                normal_scale=mats.normal_scale[mid], mid=mid)
+                normal_tex=normal_tex,
+                normal_scale=normal_scale, mid=mid)
 
 
 def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):

@@ -53,6 +53,12 @@ class MaterialTable(NamedTuple):
     mr_tex: jnp.ndarray
     emissive_tex: jnp.ndarray
     occlusion_tex: jnp.ndarray
+    # One (K,16) f32 row per material packing the hot shading fields, so a
+    # hit's material is ONE gather instead of ~12:
+    # [0:3] base_color, [3] alpha, [4] metallic, [5] roughness,
+    # [6:9] emissive, [9] occlusion_strength, [10] transmission, [11] ior,
+    # [12] normal_scale, [13] base_tex, [14] normal_tex, [15] mr_tex
+    packed: jnp.ndarray
 
 
 class TextureUsage(NamedTuple):
@@ -271,7 +277,22 @@ class RenderGeometryBuilder:
             mr_tex=jnp.asarray(np.array([t[2] for t in tex] or [-1], np.int32)),
             emissive_tex=jnp.asarray(np.array([t[3] for t in tex] or [-1], np.int32)),
             occlusion_tex=jnp.asarray(np.array([t[4] for t in tex] or [-1], np.int32)),
+            packed=jnp.zeros((k, 16)),
         )
+        packed = np.zeros((k, 16), np.float32)
+        packed[:, 0:3] = np.asarray(table.base_color)
+        packed[:, 3] = np.asarray(table.alpha)
+        packed[:, 4] = np.asarray(table.metallic)
+        packed[:, 5] = np.asarray(table.roughness)
+        packed[:, 6:9] = np.asarray(table.emissive)
+        packed[:, 9] = np.asarray(table.occlusion_strength)
+        packed[:, 10] = np.asarray(table.transmission)
+        packed[:, 11] = np.asarray(table.ior)
+        packed[:, 12] = np.asarray(table.normal_scale)
+        packed[:, 13] = np.asarray(table.base_tex)
+        packed[:, 14] = np.asarray(table.normal_tex)
+        packed[:, 15] = np.asarray(table.mr_tex)
+        table = table._replace(packed=jnp.asarray(packed))
 
         # Host BVH topology over the build-pose geometry (skinned verts at
         # bind pose positions).
