@@ -52,6 +52,16 @@ _SUB = 8 * (BLOCK // 1024)   # sublane rows per ray operand
 # Timing-only knob: skip leaf triangle tests (WRONG results — used to
 # attribute kernel time between traversal control and leaf intersection).
 _PROFILE_NOLEAF = os.environ.get("SGE_RT_PROFILE_NOLEAF") == "1"
+# Keep a (M,8) copy of [bmin,bmax,skip,leaf] in SMEM: interior steps then
+# read 8 scalars from scalar memory instead of a dynamic VMEM row load +
+# vector lane extracts; the full 128-lane row is only loaded in the leaf
+# branch. Stored FLAT (M*8,) — SMEM pads 2D rows to 512B each. SMEM is
+# ~1MB total, so this path is auto-selected only while the header fits
+# (<= ~22k nodes, leaving headroom for Mosaic's own scalars); larger trees
+# fall back to the all-VMEM kernel. Measured: 53.6 -> 36.2 ms per primary
+# pass on the demo scene. SGE_RT_SMEM=0 forces the fallback.
+_USE_SMEM = os.environ.get("SGE_RT_SMEM", "1") == "1"
+_SMEM_MAX_NODES = 22_000
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
@@ -99,6 +109,101 @@ def pack_bvh(bvh) -> KernelBVH:
     if mp:
         rows = jnp.pad(rows, ((0, mp), (0, 0)))
     return KernelBVH(rows=rows, n_nodes=m)
+
+
+def _kernel_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+                 dx_ref, dy_ref, dz_ref, tmax_ref, t_out, tri_out):
+    """SMEM-header traversal: interior steps are 8 scalar loads + vector
+    slab math; the 128-lane row is loaded only when a leaf must test its
+    triangles."""
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t0 = tmax_ref[0]
+    tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
+
+    def cond(c):
+        node, _, _ = c
+        return node >= 0
+
+    def body(c):
+        node, t_best, tri_best = c
+        tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - oy) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - oy) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - oz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+        any_hit = jnp.any(box_hit)
+
+        is_leaf = header_ref[node * 8 + 7] > 0.5
+
+        def do_leaf(args):
+            tb, trib = args
+            row = rows_ref[pl.ds(node, 1), :]   # only leaves touch VMEM rows
+
+            def s(k):
+                return row[0, k]
+
+            ids_base = 8 + 9 * SLOT_N
+            for j in range(SLOT_N):
+                base = 8 + 9 * j
+                tri_id = row[0, ids_base + j]
+                valid = tri_id >= 0
+                ax, ay, az = s(base), s(base + 1), s(base + 2)
+                e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)
+                e2x, e2y, e2z = s(base + 6), s(base + 7), s(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= EPS
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+                    (t > 1e-4) & (t < tb) & valid & box_hit
+                tb = jnp.where(hit, t, tb)
+                trib = jnp.where(hit, tri_id, trib)
+            return tb, trib
+
+        t_best, tri_best = jax.lax.cond(
+            is_leaf & any_hit, do_leaf, lambda args: args, (t_best, tri_best))
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1,
+                         header_ref[node * 8 + 6].astype(jnp.int32))
+        return node, t_best, tri_best
+
+    node0 = jnp.int32(0)
+    _, t_best, tri_best = jax.lax.while_loop(cond, body, (node0, t0, tri0))
+    t_out[0] = t_best
+    tri_out[0] = tri_best.astype(jnp.int32)
 
 
 def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -215,6 +320,20 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
     node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    if _USE_SMEM and kbvh.rows.shape[0] <= _SMEM_MAX_NODES:
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        header = kbvh.rows[:, :8].reshape(-1)
+        t, tri = pl.pallas_call(
+            _kernel_smem,
+            grid=(nb,),
+            in_specs=[smem_spec, node_spec] + [ray_spec] * 7,
+            out_specs=(ray_spec, ray_spec),
+            out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
+            interpret=interpret,
+        )(header, kbvh.rows, *rays)
+        return t.reshape(-1)[:n], tri.reshape(-1)[:n]
 
     t, tri = pl.pallas_call(
         _kernel,
