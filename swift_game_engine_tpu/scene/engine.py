@@ -115,27 +115,104 @@ class Engine:
                                        reads=("rt_output", "exposure"),
                                        target="view"))
 
+        # -- fused frame program ------------------------------------------
+        # On a tunneled TPU every dispatch costs a network round trip
+        # (~25 ms measured), so the per-frame pipeline (intent -> substeps ->
+        # extract -> flatten -> render -> composite -> u8 quantize -> player
+        # snapshot) is traced into ONE program: one dispatch + one small
+        # host read per frame. The chase camera consumes the previous
+        # frame's player snapshot (one-frame lag, invisible through the
+        # smoothed third-person camera). Substep count is a traced scalar
+        # (fori_loop), so 0..MAX_SUBSTEPS frames share one executable.
+        e = self.player
+        stepper = self.stepper
+        tone_on = path == "rt"  # composite applies when tone mapping enabled
+
+        @jax.jit
+        def _fused(state, vel, yaw, has_yaw, jump, dodge, n_substeps, alpha,
+                   ivp, cam_pos, cam_world, exposure):
+            state = state._replace(
+                intent_vel=state.intent_vel.at[e].set(vel),
+                intent_yaw=state.intent_yaw.at[e].set(yaw),
+                intent_has_yaw=state.intent_has_yaw.at[e].set(has_yaw),
+                intent_jump=state.intent_jump.at[e].set(state.intent_jump[e] | jump),
+                intent_dodge=state.intent_dodge.at[e].set(state.intent_dodge[e] | dodge))
+            state = jax.lax.fori_loop(
+                0, n_substeps,
+                lambda _, s: stepper._substep_impl(s, jnp.float32(FIXED_DT)),
+                state)
+            transforms, palettes = stepper._extract(state, alpha, cam_world)
+            fg = flatten_frame(geo, transforms, palettes)
+            if path == "rt":
+                img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos,
+                                      rw, rh, max_layers=max_layers,
+                                      shadow_layers=shadow_layers)
+                if tone_on:
+                    img = composite_frame(img, exposure, True)
+            else:
+                img = render_frame_raster(geo, fg, ivp, cam_pos, rw, rh)
+            u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            prev = chunk_local_to_world(state.wp_prev_chunk[e],
+                                        state.wp_prev_local[e])
+            curr = chunk_local_to_world(state.wp_chunk[e], state.wp_local[e])
+            snap = jnp.concatenate([
+                prev.astype(jnp.float32), curr.astype(jnp.float32),
+                state.dodge.active[e].astype(jnp.float32)[None]])
+            return state, u8, snap
+
+        @jax.jit
+        def _fetch0(state):
+            prev = chunk_local_to_world(state.wp_prev_chunk[e],
+                                        state.wp_prev_local[e])
+            curr = chunk_local_to_world(state.wp_chunk[e], state.wp_local[e])
+            return jnp.concatenate([
+                prev.astype(jnp.float32), curr.astype(jnp.float32),
+                state.dodge.active[e].astype(jnp.float32)[None]])
+
+        self._fused = _fused
+        self._fetch_player_init = lambda: _fetch0(self.state)
+        self._snap = None
+
     # ------------------------------------------------------------------
 
     def _player_intent(self, pad: InputFrame, dt: float):
+        """One jitted state update per frame.
+
+        Host<->device chatter is the enemy on a tunneled TPU: the naive
+        version (five .at[].set dispatches + bool()/float() device reads)
+        costs hundreds of ms per frame in round trips. Scene constants are
+        cached at init; dodge_active rides back with the previous frame's
+        camera fetch (one read per frame)."""
         e = self.player
-        st = self.state
-        dodge_active = bool(st.dodge.active[e])
-        mv = self.spec.movement
-        intent = self.input.update(pad, dt, dodge_active,
-                                   float(mv["walk_speed"][e]),
-                                   float(mv["run_speed"][e]),
-                                   float(mv["run_threshold"][e]))
-        st = st._replace(
-            intent_vel=st.intent_vel.at[e].set(jnp.asarray(intent["desired_velocity"])),
-            intent_yaw=st.intent_yaw.at[e].set(intent["facing_yaw"]),
-            intent_has_yaw=st.intent_has_yaw.at[e].set(intent["has_facing_yaw"]),
-            intent_jump=st.intent_jump.at[e].set(
-                bool(st.intent_jump[e]) or intent["jump_requested"]),
-            intent_dodge=st.intent_dodge.at[e].set(
-                bool(st.intent_dodge[e]) or intent["dodge_requested"]),
-        )
-        self.state = st
+        if not hasattr(self, "_mv_cache"):
+            mv = self.spec.movement
+            self._mv_cache = (float(mv["walk_speed"][e]),
+                              float(mv["run_speed"][e]),
+                              float(mv["run_threshold"][e]))
+            self._dodge_active = False
+
+            @jax.jit
+            def apply_intent(st, vel, yaw, has_yaw, jump, dodge):
+                return st._replace(
+                    intent_vel=st.intent_vel.at[e].set(vel),
+                    intent_yaw=st.intent_yaw.at[e].set(yaw),
+                    intent_has_yaw=st.intent_has_yaw.at[e].set(has_yaw),
+                    intent_jump=st.intent_jump.at[e].set(
+                        st.intent_jump[e] | jump),
+                    intent_dodge=st.intent_dodge.at[e].set(
+                        st.intent_dodge[e] | dodge))
+
+            self._apply_intent = apply_intent
+        walk, run, thresh = self._mv_cache
+        intent = self.input.update(pad, dt, self._dodge_active,
+                                   walk, run, thresh)
+        self.state = self._apply_intent(
+            self.state,
+            jnp.asarray(intent["desired_velocity"], jnp.float32),
+            jnp.float32(intent["facing_yaw"]),
+            bool(intent["has_facing_yaw"]),
+            bool(intent["jump_requested"]),
+            bool(intent["dodge_requested"]))
 
     def update(self, dt: float, pad: Optional[InputFrame] = None):
         """Simulation update: time, input, fixed substeps, chase camera."""
@@ -152,14 +229,23 @@ class Engine:
         if steps == MAX_SUBSTEPS and self.accumulator >= FIXED_DT:
             self.accumulator = 0.0
 
-        # chase camera from interpolated player world position
+        # chase camera from interpolated player world position (one device
+        # read per frame: prev/curr world pos + dodge flag ride together)
         alpha = min(max(self.accumulator / FIXED_DT, 0.0), 1.0)
         e = self.player
-        prev = chunk_local_to_world(self.state.wp_prev_chunk[e],
-                                    self.state.wp_prev_local[e])
-        curr = chunk_local_to_world(self.state.wp_chunk[e],
-                                    self.state.wp_local[e])
-        p = np.asarray(prev + (curr - prev) * alpha)
+        if not hasattr(self, "_fetch_player"):
+            @jax.jit
+            def fetch(st):
+                prev = chunk_local_to_world(st.wp_prev_chunk[e],
+                                            st.wp_prev_local[e])
+                curr = chunk_local_to_world(st.wp_chunk[e], st.wp_local[e])
+                return jnp.concatenate([
+                    prev.astype(jnp.float32), curr.astype(jnp.float32),
+                    st.dodge.active[e].astype(jnp.float32)[None]])
+            self._fetch_player = fetch
+        snap = np.asarray(self._fetch_player(self.state))
+        self._dodge_active = bool(snap[6] > 0.5)
+        p = snap[0:3] + (snap[3:6] - snap[0:3]) * alpha
         self.input.update_camera(self.camera, p)
         return alpha
 
@@ -189,10 +275,51 @@ class Engine:
 
     def frame(self, dt: float, pad: Optional[InputFrame] = None,
               with_overlay: bool = True):
-        """Full frame: update + render + FPS overlay. Returns uint8 (H,W,3)."""
-        alpha = self.update(dt, pad)
-        img = np.asarray(self.render(alpha))
-        u8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        """Full frame via the fused one-dispatch program. Returns u8 (H,W,3)."""
+        e = self.player
+        if not hasattr(self, "_mv_cache"):
+            mv = self.spec.movement
+            self._mv_cache = (float(mv["walk_speed"][e]),
+                              float(mv["run_speed"][e]),
+                              float(mv["run_threshold"][e]))
+            self._dodge_active = False
+        dt = min(max(dt, 0.0), 0.1)  # Renderer.swift:161-163
+        self.time += dt
+        walk, run, thresh = self._mv_cache
+        intent = self.input.update(pad or InputFrame(), dt,
+                                   self._dodge_active, walk, run, thresh)
+
+        self.accumulator += dt
+        n = 0
+        while self.accumulator >= FIXED_DT and n < MAX_SUBSTEPS:
+            self.accumulator -= FIXED_DT
+            n += 1
+        if n == MAX_SUBSTEPS and self.accumulator >= FIXED_DT:
+            self.accumulator = 0.0
+        alpha = min(max(self.accumulator / FIXED_DT, 0.0), 1.0)
+
+        # chase camera from the PREVIOUS frame's player snapshot
+        if self._snap is None:
+            self._snap = np.asarray(self._fetch_player_init())
+        snap = self._snap
+        p = snap[0:3] + (snap[3:6] - snap[0:3]) * alpha
+        self.input.update_camera(self.camera, p)
+        ivp = self.camera.inv_view_proj(self.rt_size[0], self.rt_size[1])
+        cam_world = self.camera.world_position.astype(np.float32)
+
+        self.state, u8_dev, snap_dev = self._fused(
+            self.state,
+            jnp.asarray(intent["desired_velocity"], jnp.float32),
+            jnp.float32(intent["facing_yaw"]),
+            bool(intent["has_facing_yaw"]),
+            bool(intent["jump_requested"]),
+            bool(intent["dodge_requested"]),
+            jnp.int32(n), jnp.float32(alpha), ivp,
+            jnp.asarray(self.camera.position, jnp.float32),
+            jnp.asarray(cam_world), jnp.float32(self.tone_mapping_exposure))
+        u8 = np.asarray(u8_dev)
+        self._snap = np.asarray(snap_dev)
+        self._dodge_active = bool(self._snap[6] > 0.5)
         if with_overlay:
             fps = self.overlay.update(dt)
             u8 = self.overlay.blit(u8, fps)
