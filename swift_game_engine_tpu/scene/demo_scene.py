@@ -77,7 +77,9 @@ class DemoScene:
     def build(self):
         wb = WorldBuilder()
         cb = CollisionWorldBuilder()
-        rb = RenderGeometryBuilder(texture_size=512)
+        import os as _os
+        rb = RenderGeometryBuilder(
+            texture_size=int(_os.environ.get("SGE_TEX_SIZE", "512")))
 
         def add_static(e, mesh: MeshDescriptor, surface=(0.8, 0.6, False),
                        layer=1, collision_mesh=None, transform_scale=None):
