@@ -78,8 +78,13 @@ class KernelBVH(NamedTuple):
     n_nodes: int
 
 
-def pack_bvh(bvh) -> KernelBVH:
-    """render.bvh.BVHArrays -> row-per-node kernel layout (jit-safe)."""
+def pack_bvh(bvh, translucent=None) -> KernelBVH:
+    """render.bvh.BVHArrays -> row-per-node kernel layout (jit-safe).
+
+    ``translucent``: optional (T,) bool per ORIGINAL triangle id. Translucent
+    slots are encoded as ``id + 0.5`` (exact in f32 below 2^22): the normal
+    kernels' int cast truncates it away, while the shadow any-hit kernel
+    treats only integral ids (opaque) as full blockers."""
     m = bvh.bmin.shape[0]
     slots = bvh.slot_tri                      # (M,K) original tri ids
     k = slots.shape[1]
@@ -93,13 +98,17 @@ def pack_bvh(bvh) -> KernelBVH:
     ca = bvh.v2[safe] - a
     tri_block = jnp.concatenate([a, ba, ca], axis=-1)   # (M,SLOT_N,9)
 
+    slots_f = slots.astype(jnp.float32)
+    if translucent is not None:
+        tr = translucent[safe] & (slots >= 0)
+        slots_f = slots_f + 0.5 * tr.astype(jnp.float32)
     rows = jnp.concatenate([
         bvh.bmin,                                        # 0:3
         bvh.bmax,                                        # 3:6
         bvh.skip.astype(jnp.float32)[:, None],           # 6
         bvh.is_leaf.astype(jnp.float32)[:, None],        # 7
         tri_block.reshape(m, 9 * SLOT_N),                # 8:116
-        slots.astype(jnp.float32),                       # 116:128
+        slots_f,                                         # 8+9*SLOT_N ..
     ], axis=-1)
     pad = ROW - rows.shape[-1]
     assert pad >= 0
@@ -204,6 +213,145 @@ def _kernel_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
     _, t_best, tri_best = jax.lax.while_loop(cond, body, (node0, t0, tri0))
     t_out[0] = t_best
     tri_out[0] = tri_best.astype(jnp.int32)
+
+
+def _kernel_shadow_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+                        dx_ref, dy_ref, dz_ref, tmax_ref, blocked_out):
+    """Any-hit occlusion over OPAQUE triangles only (integral slot ids).
+
+    A lane is 'blocked' once any opaque triangle within its t limit is hit;
+    the packet exits as soon as every live lane is blocked — shadow packets
+    usually terminate after a handful of leaves instead of a full
+    closest-hit walk. Translucent triangles (id + 0.5) never block here;
+    the caller resolves remaining lanes with the exact alpha-filter loop."""
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t_lim = tmax_ref[0]
+    # blocked is an f32 0/1 mask: Mosaic cannot legalize scf.if with i1
+    # vector results, so the cond branch must carry float vectors.
+    blocked0 = jnp.where(t_lim <= 0.0, 1.0, 0.0)
+
+    def cond(c):
+        node, blocked = c
+        return (node >= 0) & (jnp.min(blocked) < 0.5)
+
+    def body(c):
+        node, blocked = c
+        tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - oy) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - oy) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - oz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_lim) & \
+            (blocked < 0.5)
+        any_hit = jnp.any(box_hit)
+
+        is_leaf = header_ref[node * 8 + 7] > 0.5
+
+        def do_leaf(blocked):
+            row = rows_ref[pl.ds(node, 1), :]
+
+            def s(k):
+                return row[0, k]
+
+            ids_base = 8 + 9 * SLOT_N
+            for j in range(SLOT_N):
+                base = 8 + 9 * j
+                tri_id = row[0, ids_base + j]
+                opaque = (tri_id >= 0) & (tri_id == jnp.floor(tri_id))
+                ax, ay, az = s(base), s(base + 1), s(base + 2)
+                e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)
+                e2x, e2y, e2z = s(base + 6), s(base + 7), s(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= EPS
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+                    (t > 1e-4) & (t < t_lim) & opaque & box_hit
+                blocked = jnp.maximum(blocked, hit.astype(jnp.float32))
+            return blocked
+
+        blocked = jax.lax.cond(is_leaf & any_hit, do_leaf,
+                               lambda b: b, blocked)
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1,
+                         header_ref[node * 8 + 6].astype(jnp.int32))
+        return node, blocked
+
+    node0 = jnp.int32(0)
+    _, blocked = jax.lax.while_loop(cond, body, (node0, blocked0))
+    blocked_out[0] = blocked
+
+
+def trace_shadow_any(kbvh: KernelBVH, o, d, t_limit, interpret: bool = False):
+    """Any-hit opaque occlusion for a flat ray batch -> (N,) bool blocked.
+
+    Only available while the header fits SMEM; callers must check
+    `shadow_prepass_available(kbvh)` and fall back to the exact loop."""
+    n = o.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
+        t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
+    nb = o.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb, _SUB, 128)
+
+    rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+            comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+            comp(jnp.asarray(t_limit, jnp.float32))]
+    node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    header = kbvh.rows[:, :8].reshape(-1)
+    blocked = pl.pallas_call(
+        _kernel_shadow_smem,
+        grid=(nb,),
+        in_specs=[smem_spec, node_spec] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+        interpret=interpret,
+    )(header, kbvh.rows, *rays)
+    return blocked.reshape(-1)[:n] > 0.5
+
+
+def shadow_prepass_available(rows) -> bool:
+    """Static check: the any-hit prepass needs the SMEM header to fit."""
+    return _USE_SMEM and rows.shape[0] <= _SMEM_MAX_NODES
 
 
 def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,

@@ -274,7 +274,7 @@ class BVHArrays(NamedTuple):
     rows: jnp.ndarray      # (M_pad, 128) kernel layout
 
 
-def refit(topo: BVHTopology, v0, v1, v2) -> BVHArrays:
+def refit(topo: BVHTopology, v0, v1, v2, translucent=None) -> BVHArrays:
     """Recompute all node AABBs from current world-space triangles (jit-safe).
 
     Leaf bounds from their <= 4 triangles; internal bounds by level-ordered
@@ -310,7 +310,7 @@ def refit(topo: BVHTopology, v0, v1, v2) -> BVHArrays:
                     slot_tri=slot_tri, v0=v0, v1=v1, v2=v2,
                     rows=jnp.zeros((0, 128), jnp.float32))
     from ..ops.rt_kernel import pack_bvh
-    return out._replace(rows=pack_bvh(out).rows)
+    return out._replace(rows=pack_bvh(out, translucent=translucent).rows)
 
 
 def traverse(bvh: BVHArrays, origin, direction, t_max, max_steps: int = 512,

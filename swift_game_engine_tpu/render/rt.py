@@ -80,6 +80,13 @@ import os
 # stackless path remains as the reference implementation (and for backends
 # where Mosaic is unavailable, via interpret mode on tiny scenes).
 _FORCE_JAX_TRAVERSAL = os.environ.get("SGE_JAX_TRAVERSAL", "0") == "1"
+# Opt-in any-hit opaque shadow prepass (ops/rt_kernel.trace_shadow_any):
+# wins when shadow loops run many layers (L1S4: 224 -> 205 ms) but adds a
+# fixed pass per shade call that loses at the default L3S4+bounces config
+# (399 -> 426 ms), and it resolves opaque blockers hidden behind
+# shadow_layers translucent hits, which the reference's layer cap misses —
+# off by default for exact reference semantics.
+_SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
 
 
 @partial(jax.jit, static_argnames=())
@@ -181,6 +188,30 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
     if usage is None:
         usage = FULL_USAGE
 
+    o0 = hit_pos + n * bias[..., None]
+    act0 = active
+    shadow0 = jnp.ones(hit_pos.shape[0])
+    if _SHADOW_PREPASS and not _FORCE_JAX_TRAVERSAL:
+        from ..ops.rt_kernel import (trace_shadow_any,
+                                     shadow_prepass_available,
+                                     KernelBVH as KB)
+        if shadow_prepass_available(fg.bvh.rows):
+            # Any-hit prepass over opaque triangles: a lane with ANY opaque
+            # blocker has shadow 0 regardless of hit order, so the exact
+            # alpha-filter loop below only runs for lanes whose occluders
+            # are all translucent (usually none -> the loop exits at once).
+            t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
+                              jnp.float32(0.0))
+            d_sh = jnp.broadcast_to(l, o0.shape)
+            o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
+            blocked = trace_shadow_any(
+                KB(rows=fg.bvh.rows, n_nodes=fg.bvh.bmin.shape[0]),
+                o_sh, d_sh, t_lim,
+                interpret=jax.default_backend() != "tpu")
+            blocked = blocked & active
+            shadow0 = jnp.where(blocked, 0.0, shadow0)
+            act0 = active & jnp.logical_not(blocked)
+
     def cond(carry):
         _, shadow, act, layer = carry
         return jnp.any(act & (shadow > 0.02)) & (layer < shadow_layers)
@@ -196,8 +227,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         o = jnp.where(found[..., None], sh_pos + l * (bias * 2.0)[..., None], o)
         return o, shadow, live & found, layer + 1
 
-    init = (hit_pos + n * bias[..., None], jnp.ones(hit_pos.shape[0]), active,
-            jnp.int32(0))
+    init = (o0, shadow0, act0, jnp.int32(0))
     _, shadow, _, _ = jax.lax.while_loop(cond, body, init)
     return shadow
 

@@ -125,6 +125,9 @@ class SceneGeometry(NamedTuple):
     skinned_blocks: tuple         # tuple of dicts (host data, see builder)
     n_static_verts: int
     topo: B.BVHTopology
+    # (T,) bool: triangle's material can pass light (alpha factor < 1 or a
+    # base texture with real alpha) — drives the shadow any-hit prepass.
+    tri_translucent: jnp.ndarray
 
 
 @dataclass
@@ -317,6 +320,18 @@ class RenderGeometryBuilder:
             from ..ops.rt_kernel import SLOT_N
             topo = B.build_bvh_morton(tmin, tmax, leaf_size=SLOT_N)
 
+        # Per-triangle translucency (static): material alpha factor < 1, or a
+        # bound base texture whose min alpha < 1.
+        tex_bank = self._tex_builder.build()
+        mat_alpha = np.asarray(table.alpha)
+        mat_base_tex = np.asarray(table.base_tex)
+        trans_mat = mat_alpha < 0.999
+        if np.any(mat_base_tex >= 0):
+            amin = np.asarray(tex_bank.data)[..., 3].min(axis=(1, 2))
+            has_tex = mat_base_tex >= 0
+            trans_mat = trans_mat | (has_tex & (amin[np.maximum(mat_base_tex, 0)] < 0.999))
+        tri_translucent = trans_mat[np.maximum(tri_mat, 0)]
+
         return SceneGeometry(
             static_pos=jnp.asarray(static_pos),
             static_nrm=jnp.asarray(static_nrm),
@@ -326,10 +341,11 @@ class RenderGeometryBuilder:
             tri=jnp.asarray(tri),
             tri_material=jnp.asarray(tri_mat),
             materials=table,
-            textures=self._tex_builder.build(),
+            textures=tex_bank,
             skinned_blocks=tuple(self._skinned),
             n_static_verts=n_static,
             topo=topo,
+            tri_translucent=jnp.asarray(tri_translucent),
         )
 
 
@@ -378,5 +394,6 @@ def flatten_frame(geo: SceneGeometry, instance_transforms, palettes) -> FrameGeo
     v0 = pos_w[geo.tri[:, 0]]
     v1 = pos_w[geo.tri[:, 1]]
     v2 = pos_w[geo.tri[:, 2]]
-    bvh_arrays = B.refit(geo.topo, v0, v1, v2)
+    bvh_arrays = B.refit(geo.topo, v0, v1, v2,
+                         translucent=geo.tri_translucent)
     return FrameGeometry(pos=pos_w, nrm=nrm_w, tan=tan_w, bvh=bvh_arrays)
