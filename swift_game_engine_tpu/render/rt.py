@@ -87,6 +87,8 @@ _FORCE_JAX_TRAVERSAL = os.environ.get("SGE_JAX_TRAVERSAL", "0") == "1"
 # shadow_layers translucent hits, which the reference's layer cap misses —
 # off by default for exact reference semantics.
 _SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
+# Profiling knob: drop the split-sum specular IBL term.
+_NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 
 
 @partial(jax.jit, static_argnames=())
@@ -143,19 +145,29 @@ def _sample_material(geo: SceneGeometry, tri, uv, usage):
     mr_tex = row[..., 15].astype(jnp.int32)
 
     white = jnp.ones(4)
+
+    def tap(tex_ids, default):
+        """Texture sample, skipped at runtime when NO hit lane binds one —
+        texture taps measured ~46 ms/shade on the demo while most frames
+        shade only factor-materials (lax.cond runs one branch)."""
+        return jax.lax.cond(
+            jnp.any(tex_ids >= 0),
+            lambda: sample_bilinear(geo.textures, tex_ids, uv, default),
+            lambda: jnp.broadcast_to(default, uv.shape[:-1] + (4,)))
+
     if usage.base:
-        base_t = sample_bilinear(geo.textures, base_tex, uv, white)
+        base_t = tap(base_tex, white)
         base = base * base_t[..., :3]
         alpha = alpha * base_t[..., 3]
     if usage.mr:
-        mr_t = sample_bilinear(geo.textures, mr_tex, uv, white)
+        mr_t = tap(mr_tex, white)
         roughness = roughness * mr_t[..., 1]
         metallic = metallic * mr_t[..., 2]
     if usage.emissive:
-        em_t = sample_bilinear(geo.textures, mats.emissive_tex[mid], uv, white)
+        em_t = tap(mats.emissive_tex[mid], white)
         emissive = emissive * em_t[..., :3]
     if usage.occlusion:
-        oc_t = sample_bilinear(geo.textures, mats.occlusion_tex[mid], uv, white)
+        oc_t = tap(mats.occlusion_tex[mid], white)
         occlusion = occlusion * oc_t[..., 0]
 
     return dict(base=base, alpha=alpha, metallic=metallic, roughness=roughness,
@@ -258,18 +270,26 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     m = _sample_material(geo, tri, uv, usage)
 
     # Tangent-space normal mapping (RayTracing.metalinc:283-316); skipped
-    # statically when no scene material binds a normal map.
+    # statically when no scene material binds a normal map, and at runtime
+    # when no hit lane does (lax.cond).
     if usage.normal:
-        n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
-        tan4 = _interp(fg.tan, tri_v, u, v)
-        tan = normalize(tan4[..., :3])
-        n_tex = sample_bilinear(geo.textures, m["normal_tex"], uv,
-                                jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
-        n_mapped = apply_normal_map(n_geom, n_vert, tan, jnp.sign(tan4[..., 3]),
-                                    n_tex, m["normal_scale"], view)
-        n_mapped = jnp.where(jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
-                             -n_mapped, n_mapped)
-        n = jnp.where((m["normal_tex"] >= 0)[..., None], n_mapped, n_geom)
+        def do_normal_map():
+            n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
+            tan4 = _interp(fg.tan, tri_v, u, v)
+            tan = normalize(tan4[..., :3])
+            n_tex = sample_bilinear(geo.textures, m["normal_tex"], uv,
+                                    jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
+            n_mapped = apply_normal_map(n_geom, n_vert, tan,
+                                        jnp.sign(tan4[..., 3]),
+                                        n_tex, m["normal_scale"], view)
+            n_mapped = jnp.where(
+                jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
+                -n_mapped, n_mapped)
+            return jnp.where((m["normal_tex"] >= 0)[..., None], n_mapped,
+                             n_geom)
+
+        n = jax.lax.cond(jnp.any(m["normal_tex"] >= 0), do_normal_map,
+                         lambda: n_geom)
     else:
         n = n_geom
 
@@ -299,7 +319,7 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     ambient = m["base"] * eval_env_sh(n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY \
         * m["occlusion"][..., None]
     color = direct + ambient + m["emissive"]
-    if with_ibl_spec:
+    if with_ibl_spec and not _NO_SPEC_IBL:
         spec = eval_spec_ibl(n, view, m["roughness"], m["metallic"], m["base"],
                              ibl.brdf_lut)
         color = color + spec * m["occlusion"][..., None]

@@ -85,6 +85,9 @@ def texture_usage(geo: "SceneGeometry") -> TextureUsage:
     Must be called where ``geo`` holds concrete arrays (closure constants
     at trace time) — the result is a static Python value.
     """
+    import os
+    if os.environ.get("SGE_NO_TEX") == "1":   # profiling: no texture taps
+        return TextureUsage(False, False, False, False, False, False)
     key = id(geo.materials)
     hit = _USAGE_CACHE.get(key)
     if hit is not None:

@@ -81,3 +81,31 @@ def test_rt_emissive_unshaded(scene):
         enable_refraction=False))())
     right = img[:, int(W * 0.8):].reshape(-1, 3)
     assert right[:, 0].max() > 1.5  # emissive 3.0 shows pre-tonemap
+
+
+def test_rt_textured_material():
+    """Texture taps behind the runtime any-lane gate still sample correctly."""
+    from swift_game_engine_tpu.assets.procedural_textures import checkerboard
+    b = RenderGeometryBuilder(texture_size=32)
+    mat = Material(name="check", base_color_factor=(1, 1, 1),
+                   roughness_factor=0.9,
+                   base_color_texture=checkerboard(32, 32, cell=4,
+                                                   color_a=255, color_b=10))
+    b.add_static_mesh(pm.plane(40.0), mat, instance=0)
+    geo = b.build()
+    tf = np.eye(4, dtype=np.float32)[None]
+    fg = flatten_frame(geo, jnp.asarray(tf), jnp.zeros((1, 1, 4, 4)))
+    cam = Camera()
+    cam.position = np.array([0.0, 8.0, 8.0], np.float32)
+    cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+    ivp = cam.inv_view_proj(W, H)
+    ibl = IBL.build()
+    lights = RT.DirectionalLights.default_sun()
+    img = np.asarray(jax.jit(lambda: RT.render_frame(
+        geo, fg, ibl, lights, ivp, cam.position, W, H,
+        max_layers=1, shadow_layers=1))())
+    assert np.isfinite(img).all()
+    # the checker must be visible: bright and dark ground pixels coexist
+    ground = img[H // 2:]  # lower half shows the plane
+    lum = ground.mean(axis=-1)
+    assert lum.max() > lum.min() * 3 + 0.05
