@@ -38,12 +38,36 @@ class Camera:
 
     def inv_view_proj(self, width: float, height: float):
         """inv(P @ V) = rigidInv(V) @ analyticInv(P) — exact in f32 (a
-        numeric inverse cancels catastrophically at the far plane)."""
+        numeric inverse cancels catastrophically at the far plane).
+
+        Pure numpy: this runs on the HOST once per frame — eager jnp 4x4
+        math here cost ~70 ms/frame of tunnel dispatches."""
         aspect = max(width / max(height, 1.0), 1e-4)
-        inv_p = m3.mat4_perspective_rh_inverse(
-            m3.radians_from_degrees(self.fov_degrees), aspect, self.near_z, self.far_z)
-        inv_v = m3.mat4_inverse_rigid(self.view())
-        return inv_v @ inv_p
+        fov = np.float32(np.radians(self.fov_degrees))
+        ys = np.float32(1.0) / np.tan(fov * np.float32(0.5))
+        xs = ys / np.float32(aspect)
+        zs = np.float32(self.far_z / (self.near_z - self.far_z))
+        inv_p = np.zeros((4, 4), np.float32)
+        inv_p[0, 0] = 1.0 / xs
+        inv_p[1, 1] = 1.0 / ys
+        inv_p[2, 3] = -1.0
+        inv_p[3, 2] = 1.0 / (zs * np.float32(self.near_z))
+        inv_p[3, 3] = 1.0 / np.float32(self.near_z)
+
+        # numpy mirror of m3.mat4_look_at_rh + rigid inverse
+        eye = np.asarray(self.position, np.float32)
+        f = np.asarray(self.target, np.float32) - eye
+        f = f / np.float32(np.linalg.norm(f) + 1e-20)
+        up = np.asarray(self.up, np.float32)
+        r = np.cross(f, up)
+        r = r / np.float32(np.linalg.norm(r) + 1e-20)
+        u = np.cross(r, f)
+        rot = np.stack([r, u, -f])                  # view rotation rows
+        # rigid inverse: [rot^T | eye]
+        inv_v = np.eye(4, dtype=np.float32)
+        inv_v[:3, :3] = rot.T
+        inv_v[:3, 3] = eye
+        return (inv_v @ inv_p).astype(np.float32)
 
     @property
     def world_position(self) -> np.ndarray:
