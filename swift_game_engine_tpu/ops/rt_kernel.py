@@ -5,20 +5,24 @@ This is the engine's equivalent of the reference's hardware-accelerated
 piece Metal provides for free and the TPU build owns.
 
 Design (why this shape wins on TPU):
-  * Rays are processed in blocks of 8x128 — one VPU tile per coordinate
-    register. All per-ray math (slab tests, Moller-Trumbore) is pure vector
-    ALU.
+  * Rays are processed in square-tile-coherent blocks of BLOCK (default
+    4096 = 32 sublane rows x 128 lanes). All per-ray math (slab tests,
+    Moller-Trumbore) is pure vector ALU. Bigger blocks amortize the
+    per-node loop overhead faster than the packet's subtree union grows
+    (measured 1024/2048/4096 -> 932/762/701 ms frames).
   * The whole block shares ONE traversal cursor (packet traversal): a scalar
     node pointer walks the preorder BVH via skip links — no stack, no
     per-lane pointers, so the kernel needs no vector gathers (TPUs have
     none).
-  * The entire BVH is **one (M, 128) row-per-node array in VMEM**: bounds,
-    skip link, leaf flag, and the leaf's <= 4 triangles (precomputed edge
-    form) all inline in the row. Each traversal step is a single
-    dynamic-sublane row load + static lane extracts — the only memory
-    access pattern Mosaic supports at full speed.
+  * The BVH is **one (M, 128) row-per-node array in VMEM** (bounds, skip
+    link, leaf flag, SLOT_N inlined triangles in edge form) plus a flat
+    **SMEM copy of the 8-float header**: an interior step is 8 scalar
+    loads + vector slab math and never touches vector memory; only the
+    leaf branch loads the full row (dynamic-sublane load + static lane
+    extracts — the access patterns Mosaic supports at full speed).
   * Early exit: the cursor prunes subtrees whose entry distance exceeds
-    every ray's current best hit.
+    every ray's current best hit; an any-hit variant (shadow occlusion)
+    additionally exits once every live lane is blocked.
 
 vs the pure-JAX stackless traversal (render.bvh.traverse): identical results,
 but a step costs VPU-cycles instead of an XLA op dispatch, and coherent
