@@ -326,7 +326,9 @@ def trace_shadow_any(kbvh: KernelBVH, o, d, t_limit, interpret: bool = False):
     n = o.shape[0]
     pad = (-n) % BLOCK
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        # Far-outside padding (see trace_rays_pallas); t_limit=0 also marks
+        # the lane blocked immediately in the any-hit kernel.
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
         d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
         t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
     nb = o.shape[0] // BLOCK
@@ -457,7 +459,10 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
     n = o.shape[0]
     pad = (-n) % BLOCK
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        # Park padded lanes far outside any scene AABB: a (0,0,0) origin
+        # inside the scene keeps box_hit true (tmin<0<=tmax) on every node,
+        # making a fully-padded tail packet walk the whole tree.
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
         d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
         t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
     nb = o.shape[0] // BLOCK

@@ -171,6 +171,7 @@ def action_animation_step(clock: ActionClock, cycle, dodge_end_time, has_dodge,
     action restart (:551-557).
     """
     dt = jnp.float32(dt)
+    loop = jnp.asarray(loop, bool)
     if trigger is not None:
         clock = ActionClock(
             active=clock.active | trigger,
@@ -190,11 +191,12 @@ def action_animation_step(clock: ActionClock, cycle, dodge_end_time, has_dodge,
                                     jnp.where(hit_end, cap, time)), time)
     exiting = jnp.where(adv & ~loop & hit_end, True, clock.exiting)
 
-    half = jnp.float32(max(blend_out_half_life, 0.001))
+    # blend params may be scalars or per-entity arrays (spec.action_cfg).
+    half = jnp.maximum(jnp.asarray(blend_out_half_life, jnp.float32), 0.001)
     decayed = clock.weight * jnp.power(0.5, dt / half)
     w_out = jnp.where(decayed <= 0.001, 0.0, decayed)
     done = clock.active & exiting & (decayed <= 0.001)
-    blend_in = jnp.float32(max(blend_in_time, 0.001))
+    blend_in = jnp.maximum(jnp.asarray(blend_in_time, jnp.float32), 0.001)
     w_in = jnp.minimum(clock.weight + dt / blend_in, 1.0)
 
     weight = jnp.where(clock.active, jnp.where(exiting, w_out, w_in), clock.weight)

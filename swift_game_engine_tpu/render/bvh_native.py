@@ -56,7 +56,11 @@ def build_bvh_sah(tri_min: np.ndarray, tri_max: np.ndarray,
     t = len(tri_min)
     tri_min = np.ascontiguousarray(tri_min, np.float32)
     tri_max = np.ascontiguousarray(tri_max, np.float32)
-    cap = 4 * max(t // max(leaf_size // 2, 1), 1) + 64
+    # The C++ builder's contract is <= 2T+1 nodes for any input (every split
+    # strictly reduces the range); an occupancy-based estimate under-allocates
+    # on adversarial geometry (peel-1 SAH chains) and the builder memcpys all
+    # m nodes before the Python-side assert runs.
+    cap = 2 * t + 64
 
     def buf(dtype):
         return np.zeros(cap, dtype)

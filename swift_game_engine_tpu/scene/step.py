@@ -201,7 +201,11 @@ class Stepper:
                 jnp.where(jnp.asarray(spec.dodge_cfg["end_time"]) > 0,
                           jnp.asarray(spec.dodge_cfg["end_time"]),
                           jnp.asarray(spec.dodge_cfg["duration"])),
-                m["has_dodge"], dt, trigger=action_trigger)
+                m["has_dodge"], dt,
+                playback_rate=jnp.asarray(cfg["rate"]),
+                blend_in_time=jnp.asarray(cfg["blend_in"]),
+                blend_out_half_life=jnp.asarray(cfg["blend_out"]),
+                trigger=action_trigger)
             action = jax.tree.map(
                 lambda a, b: jnp.where(m["has_action"], a, b), action, state.action)
 
@@ -222,10 +226,14 @@ class Stepper:
                 self.bank, self.action_profile, lo, pa, a, i, dt))
             res = step(loco_c, params_c, astate_c, inputs)
             loco = jax.tree.map(lambda full, upd: full.at[ce].set(upd), loco, res.loco)
+            # Scatter pose results (ce enumeration order) into palette rows by
+            # character_slot — slots need not be monotonic in entity order.
+            slots = self.character_slot[ce]
             if self.inv_bind_override is not None:
-                palettes = jnp.matmul(res.model, self.inv_bind_override)
+                pal = jnp.matmul(res.model, self.inv_bind_override[slots])
             else:
-                palettes = res.palette
+                pal = res.palette
+            palettes = palettes.at[slots].set(pal)
             pose_phase = pose_phase.at[ce].set(res.phase)
 
         # --- post: PhysicsWriteback (body -> transform)

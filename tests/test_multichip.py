@@ -1,0 +1,95 @@
+"""Multi-chip sharding correctness (VERDICT r1 item #1).
+
+Runs on the virtual 8-device CPU mesh that conftest.py provisions. Asserts
+the image-plane-sharded render path (parallel.sharding.sharded_render)
+produces the same image as a single-device render, and that the driver's
+`dryrun_multichip` entry point succeeds in a fresh process (pinning the
+env-setup fix: JAX_PLATFORMS=cpu + host device count forced before jax
+import).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swift_game_engine_tpu.parallel.sharding import make_mesh, sharded_render
+from swift_game_engine_tpu.render.ibl import IBL
+from swift_game_engine_tpu.render.camera import Camera
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    from swift_game_engine_tpu.scene.demo_scene import DemoScene
+    return DemoScene(include_imported_assets=False).build()
+
+
+def _frame_inputs(tiny_scene, w, h):
+    stepper = tiny_scene["stepper"]
+    cam = Camera()
+    cam.position = np.array([0.0, 4.0, 14.0], np.float32)
+    cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+    ivp = cam.inv_view_proj(w, h)
+    state = stepper.substep(tiny_scene["state"], 1.0 / 60.0)
+    transforms, palettes = stepper.extract(state, 1.0, np.zeros(3, np.float32))
+    return transforms, palettes, ivp, jnp.asarray(cam.position)
+
+
+def test_sharded_render_matches_single_device(tiny_scene):
+    assert len(jax.devices()) >= 8, "conftest must provision 8 CPU devices"
+    w, h = 64, 32
+    ibl = IBL.build()
+    geo, lights = tiny_scene["geometry"], tiny_scene["lights"]
+    transforms, palettes, ivp, cam_pos = _frame_inputs(tiny_scene, w, h)
+
+    mesh8 = make_mesh(jax.devices()[:8])
+    mesh1 = make_mesh(jax.devices()[:1])
+    r8 = sharded_render(mesh8, geo, ibl, lights, w, h,
+                        max_layers=2, shadow_layers=1)
+    r1 = sharded_render(mesh1, geo, ibl, lights, w, h,
+                        max_layers=2, shadow_layers=1)
+    img8 = np.asarray(r8(transforms, palettes, ivp, cam_pos))
+    img1 = np.asarray(r1(transforms, palettes, ivp, cam_pos))
+    assert img8.shape == (h, w, 3)
+    assert np.isfinite(img8).all()
+    assert np.isfinite(img1).all()
+    np.testing.assert_allclose(img8, img1, rtol=1e-5, atol=1e-5)
+    # something was actually rendered (not all background)
+    assert img8.std() > 1e-3
+
+
+def test_sharded_output_is_sharded_input_consistent(tiny_scene):
+    """Non-multiple-of-8 image width exercises the ray-padding path."""
+    w, h = 60, 28
+    ibl = IBL.build()
+    geo, lights = tiny_scene["geometry"], tiny_scene["lights"]
+    transforms, palettes, ivp, cam_pos = _frame_inputs(tiny_scene, w, h)
+    mesh8 = make_mesh(jax.devices()[:8])
+    img = np.asarray(sharded_render(mesh8, geo, ibl, lights, w, h,
+                                    max_layers=1, shadow_layers=1)(
+        transforms, palettes, ivp, cam_pos))
+    assert img.shape == (h, w, 3)
+    assert np.isfinite(img).all()
+
+
+def test_dryrun_multichip_fresh_process():
+    """Pin the driver-visible entry: must self-provision its CPU mesh."""
+    code = ("import __graft_entry__ as g; g.dryrun_multichip(8)")
+    env = dict(os.environ)
+    # Simulate the driver's environment: no CPU forcing, no device count.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("SGE_JAX_TRAVERSAL", None)
+    # ...but keep it off the real TPU tunnel if one is configured: the point
+    # here is the entry point must not NEED any external env to pass.
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
+    assert "dryrun_multichip(8): OK" in proc.stdout
