@@ -65,6 +65,9 @@ _PROFILE_NOLEAF = os.environ.get("SGE_RT_PROFILE_NOLEAF") == "1"
 # fall back to the all-VMEM kernel. Measured: 53.6 -> 36.2 ms per primary
 # pass on the demo scene. SGE_RT_SMEM=0 forces the fallback.
 _USE_SMEM = os.environ.get("SGE_RT_SMEM", "1") == "1"
+# Near-first ordered traversal (two-child descent + SMEM stack); see
+# _kernel_smem_ordered. SGE_RT_ORDERED=0 falls back to the skip-link walk.
+_USE_ORDERED = os.environ.get("SGE_RT_ORDERED", "1") == "1"
 _SMEM_MAX_NODES = 22_000
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
@@ -215,6 +218,147 @@ def _kernel_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 
     node0 = jnp.int32(0)
     _, t_best, tri_best = jax.lax.while_loop(cond, body, (node0, t0, tri0))
+    t_out[0] = t_best
+    tri_out[0] = tri_best.astype(jnp.int32)
+
+
+# Ordered traversal: classic two-child descent with a per-packet SMEM stack.
+# The packet visits the nearer child first (by the packet-min box entry
+# distance), so t_best tightens early and far subtrees fail their box test
+# — the preorder skip-link walk always descended front-child-first
+# regardless of ray direction, testing far leaves before near ones.
+# In preorder, interior node n has left child n+1 and right child
+# skip[n+1], so the ordered kernel reuses the exact same header.
+_STACK_MAX = 128
+
+
+def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+                         dx_ref, dy_ref, dz_ref, tmax_ref, t_out, tri_out,
+                         stack_ref):
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t0 = tmax_ref[0]
+    tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
+
+    def slab(node, t_best):
+        tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - oy) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - oy) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - oz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+        return box_hit, tmin
+
+    def cond(c):
+        node = c[0]
+        return node >= 0
+
+    def body(c):
+        node, sp, t_best, tri_best = c
+        is_leaf = header_ref[node * 8 + 7] > 0.5
+
+        def do_leaf(args):
+            tb, trib = args
+            box_hit, _ = slab(node, tb)
+            row = rows_ref[pl.ds(node, 1), :]
+
+            def s(k):
+                return row[0, k]
+
+            ids_base = 8 + 9 * SLOT_N
+            for j in range(SLOT_N):
+                base = 8 + 9 * j
+                tri_id = row[0, ids_base + j]
+                valid = tri_id >= 0
+                ax, ay, az = s(base), s(base + 1), s(base + 2)
+                e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)
+                e2x, e2y, e2z = s(base + 6), s(base + 7), s(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= EPS
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+                    (t > 1e-4) & (t < tb) & valid & box_hit
+                tb = jnp.where(hit, t, tb)
+                trib = jnp.where(hit, tri_id, trib)
+            return tb, trib
+
+        t_best, tri_best = jax.lax.cond(
+            is_leaf, do_leaf, lambda args: args, (t_best, tri_best))
+
+        # Interior: test both children, descend near-first, push the far
+        # child. key == BIG also encodes "no lane hit".
+        left = node + 1
+        right = jnp.int32(0)
+
+        big = jnp.float32(3.0e38)
+
+        def child_keys(_):
+            r = header_ref[left * 8 + 6].astype(jnp.int32)
+            bh_l, tmin_l = slab(left, t_best)
+            bh_r, tmin_r = slab(r, t_best)
+            key_l = jnp.min(jnp.where(bh_l, tmin_l, big))
+            key_r = jnp.min(jnp.where(bh_r, tmin_r, big))
+            return r, key_l, key_r
+
+        right, key_l, key_r = jax.lax.cond(
+            is_leaf, lambda _: (jnp.int32(0), big, big), child_keys, 0)
+
+        hit_l = key_l < big
+        hit_r = key_r < big
+        both = hit_l & hit_r
+        near = jnp.where(key_l <= key_r, left, right)
+        far = left + right - near
+
+        @pl.when(both)
+        def _():
+            stack_ref[sp] = far
+
+        sp = sp + both.astype(jnp.int32)
+        descend = (~is_leaf) & (hit_l | hit_r)
+        # Pop when this was a leaf or neither child was hit.
+        do_pop = jnp.logical_not(descend)
+        sp_pop = sp - do_pop.astype(jnp.int32)
+        popped = stack_ref[jnp.maximum(sp_pop, 0)]
+        node = jnp.where(descend,
+                         jnp.where(both, near, jnp.where(hit_l, left, right)),
+                         jnp.where(sp_pop >= 0, popped, -1))
+        return node, jnp.maximum(sp_pop, 0), t_best, tri_best
+
+    node0 = jnp.int32(0)
+    sp0 = jnp.int32(0)
+    _, _, t_best, tri_best = jax.lax.while_loop(
+        cond, body, (node0, sp0, t0, tri0))
     t_out[0] = t_best
     tri_out[0] = tri_best.astype(jnp.int32)
 
@@ -481,6 +625,18 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
     if _USE_SMEM and kbvh.rows.shape[0] <= _SMEM_MAX_NODES:
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         header = kbvh.rows[:, :8].reshape(-1)
+        if _USE_ORDERED:
+            t, tri = pl.pallas_call(
+                _kernel_smem_ordered,
+                grid=(nb,),
+                in_specs=[smem_spec, node_spec] + [ray_spec] * 7,
+                out_specs=(ray_spec, ray_spec),
+                out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
+                scratch_shapes=[pltpu.SMEM((_STACK_MAX,), jnp.int32)],
+                interpret=interpret,
+            )(header, kbvh.rows, *rays)
+            return t.reshape(-1)[:n], tri.reshape(-1)[:n]
         t, tri = pl.pallas_call(
             _kernel_smem,
             grid=(nb,),

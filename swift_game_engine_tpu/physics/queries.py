@@ -1,19 +1,30 @@
 """Batched collision queries: capsule CCD cast, overlap, raycast.
 
 TPU reformulation of the reference's per-query BVH traversal + scalar
-conservative advancement (reference: Game/CollisionQuery.swift:768-1394):
-each query evaluates against *all* triangles at once with an AABB prefilter
-mask; the conservative-advancement loop runs a fixed number of masked
-iterations (converged lanes idle), followed by a fixed 10-step bisection
-refine — identical math, lockstep schedule. Queries are single-capsule
-functions; vmap them over the agent batch.
+conservative advancement (reference: Game/CollisionQuery.swift:768-1394).
 
-Semantics parity notes:
-  * advance step = max(dist - radius, max(0.02 r, 1e-4)), contact at
-    dist <= r + 1e-5 (CollisionQuery.swift:1295-1355)
-  * the "over max distance" check happens BEFORE the distance test each
-    iteration, and lastSafe is only advanced on non-contact iterations
-  * refine returns hi when the bracket is already < 1e-5 wide (:1361-1394)
+Two cast implementations:
+
+``capsule_cast`` (default, used by the whole physics pipeline) computes the
+exact time of impact *analytically* in one fused pass — zero sequential
+iterations. The swept Y-axis capsule vs triangle problem decomposes into
+closed-form feature events (endpoint-sphere vs face plane: linear;
+core-line vs edge-line: linear since both directions are fixed;
+endpoint-sphere vs vertex / edge, vertex vs core cylinder: quadratics).
+The true TOI t* is always the *first* root of its achieving feature's
+equation (feature distance >= capsule-triangle distance > r for t < t*),
+so: generate every feature's first root, validate each candidate with one
+exact distance evaluation (dist <= r + tol), and take the min. This turns
+the reference's <=256-iteration conservative-advancement loop
+(CollisionQuery.swift:1285-1394) into one data-parallel program — the same
+answer the reference's CA + 10-step bisection converges to, without the
+sequential dependency chain a TPU cannot hide.
+
+``capsule_cast_ca`` keeps the lockstep conservative-advancement form whose
+schedule mirrors the reference exactly (same advance rule, contact eps,
+bisection refine); it is the parity oracle twin and the fallback.
+
+Shared semantics (both paths):
   * contact normal = seg-tri closest-point axis, or the (dir-opposed)
     triangle normal when penetrating (:1331-1340)
   * blockingOnly rejects hits whose normal or triangle normal does not
@@ -29,6 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..math3d import cross
 from .primitives import (segment_triangle_distance, ray_triangle, aabb_overlap)
 from .collision_world import TriangleSoup
 
@@ -81,22 +93,11 @@ def _layer_mask(soup: TriangleSoup, mask):
     return soup.valid & ((soup.layer & jnp.uint32(mask)) != 0)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "blocking"))
-def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
-                 mask=jnp.uint32(0xFFFFFFFF), blocking=False,
-                 min_normal_y=None, max_iters: int = DEFAULT_CA_ITERS) -> CapsuleCastHit:
-    """Sweep a Y-axis capsule along ``delta`` against all triangles.
-
-    ``min_normal_y``: None for plain/blocking casts, or a scalar for
-    ground-filtered casts (traced; pass -2.0 to disable dynamically).
-    """
-    from_pos = jnp.asarray(from_pos, jnp.float32)
-    delta = jnp.asarray(delta, jnp.float32)
+def _cast_prefilter(soup, from_pos, delta, radius, half_height, mask):
+    """Swept-AABB prefilter (reference CollisionQuery.swift:1025-1065)."""
     length = jnp.linalg.norm(delta)
     nonzero = length >= 1e-6
     dir = delta / jnp.where(nonzero, length, 1.0)
-
-    # Swept-AABB prefilter (reference CollisionQuery.swift:1025-1065).
     up = jnp.array([0.0, 1.0, 0.0]) * half_height
     ends = jnp.stack([from_pos + up, from_pos - up,
                       from_pos + up + delta, from_pos - up + delta])
@@ -104,6 +105,245 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
     qmax = ends.max(axis=0) + radius
     tmin, tmax = soup.aabb
     cand = _layer_mask(soup, mask) & aabb_overlap(qmin, qmax, tmin, tmax) & nonzero
+    return length, dir, cand
+
+
+def _cast_select(soup, from_pos, delta, dir, toi, contact, iters,
+                 radius, half_height, blocking, min_normal_y):
+    """Hit attributes at per-triangle TOI + best-hit argmin select.
+
+    Shared tail of both cast implementations (reference
+    CollisionQuery.swift:1087-1117, 1331-1340).
+    """
+    center = from_pos + dir * toi[..., None]
+    dist, seg_p, tri_p = segment_triangle_distance(center, half_height,
+                                                   soup.v0, soup.v1, soup.v2)
+    tn = soup.normal
+    axis = seg_p - tri_p
+    axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20)
+    pen_n = jnp.where(jnp.sum(tn * dir, axis=-1, keepdims=True) > 0, -tn, tn)
+    normal = jnp.where((dist < 1e-6)[..., None], pen_n, axis_n)
+    tri_n = jnp.where(jnp.sum(tn * normal, axis=-1, keepdims=True) < 0, -tn, tn)
+
+    ok = contact
+    if blocking:
+        ok = ok & (jnp.sum(delta * normal, axis=-1) < 0) \
+                & (jnp.sum(delta * tri_n, axis=-1) < 0)
+    if min_normal_y is not None:
+        ok = ok & (tri_n[..., 1] >= min_normal_y)
+
+    toi_masked = jnp.where(ok, toi, BIG)
+    best = jnp.argmin(toi_masked)
+    best_ok = toi_masked[best] < BIG
+
+    return CapsuleCastHit(
+        hit=best_ok,
+        toi=jnp.where(best_ok, toi[best], BIG),
+        normal=normal[best],
+        tri_normal=tri_n[best],
+        position=tri_p[best],
+        tri_index=jnp.where(best_ok, best.astype(jnp.int32), -1),
+        mu_s=soup.mu_s[best],
+        mu_k=soup.mu_k[best],
+        flatten=soup.flatten[best] & best_ok,
+        iterations=iters,
+    )
+
+
+def _first_quad_root(A, B, C):
+    """Smallest real root of A t^2 + B t + C = 0 (A >= 0), or +inf.
+
+    Falls back to the linear root when A ~ 0. The smaller root is where a
+    feature-pair distance first reaches the capsule radius.
+    """
+    lin = jnp.abs(A) < 1e-12
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(lin, 1.0, A)
+    quad_root = (-B - sq) / (2.0 * a_safe)
+    b_safe = jnp.where(jnp.abs(B) < 1e-12, 1.0, B)
+    lin_root = -C / b_safe
+    root = jnp.where(lin, jnp.where(jnp.abs(B) < 1e-12, BIG, lin_root), quad_root)
+    return jnp.where(lin | (disc >= 0), root, BIG)
+
+
+def _toward_root(c0, c1, r):
+    """First t with |c0 + c1 t| = r for a linear feature distance, or +inf."""
+    sgn = jnp.where(c0 >= 0, 1.0, -1.0)
+    c1_safe = jnp.where(jnp.abs(c1) < 1e-12, 1.0, c1)
+    t = (sgn * r - c0) / c1_safe
+    return jnp.where(jnp.abs(c1) < 1e-12, BIG, t)
+
+
+def _analytic_toi(soup: TriangleSoup, from_pos, dir, length, radius,
+                  half_height, cand):
+    """Exact per-triangle first-contact distance along ``dir``.
+
+    Returns (contact (T,) bool, toi (T,)). Feature decomposition: each
+    candidate root is validated by a *region check* — the event is accepted
+    iff the feature pair consists of actual points of the capsule core
+    segment and the triangle (feet within bounds). Then the pair distance
+    equals the radius by construction, which proves capsule-triangle
+    distance <= r at that time (soundness: no candidate earlier than the
+    true TOI survives, because distance > r there means no realizable pair
+    at distance r exists). At the true TOI the achieving closest pair is
+    within bounds, so its event is accepted (completeness). The min
+    surviving candidate is therefore the exact TOI.
+    """
+    up = jnp.array([0.0, 1.0, 0.0])
+    e0 = from_pos + up * half_height      # (3,) core segment top
+    e1 = from_pos - up * half_height      # bottom
+    v = (soup.v0, soup.v1, soup.v2)       # each (T,3)
+    edges = ((soup.v0, soup.v1), (soup.v1, soup.v2), (soup.v2, soup.v0))
+    EPS_R = 1e-4  # relative region-check slack
+
+    best = jnp.full(soup.valid.shape, BIG)
+
+    def consider(t, valid):
+        return jnp.minimum(
+            jnp.where(valid & (t >= 0.0) & (t <= length), t, BIG), best)
+
+    # --- Face events: endpoint-sphere vs triangle plane (linear). The
+    # realized pair is (endpoint, its plane projection); valid when the
+    # projection lies inside the triangle.
+    n = soup.normal                                          # (T,3)
+    ndot = jnp.sum(n * dir, axis=-1)                         # (T,)
+    e10 = soup.v1 - soup.v0
+    e21 = soup.v2 - soup.v1
+    e02 = soup.v0 - soup.v2
+    two_area = jnp.sum(cross(e10, -e02) * n, axis=-1)        # = 2*area (n unit)
+    a_eps = EPS_R * jnp.abs(two_area)
+    for e in (e0, e1):
+        phi0 = jnp.sum(n * (e - v[0]), axis=-1)
+        t = _toward_root(phi0, ndot, radius)
+        p_at = e + dir * t[:, None]
+        proj = p_at - n * jnp.sum(n * (p_at - v[0]), axis=-1)[:, None]
+        c0 = jnp.sum(cross(e10, proj - soup.v0) * n, axis=-1)
+        c1 = jnp.sum(cross(e21, proj - soup.v1) * n, axis=-1)
+        c2 = jnp.sum(cross(e02, proj - soup.v2) * n, axis=-1)
+        inside = (c0 >= -a_eps) & (c1 >= -a_eps) & (c2 >= -a_eps)
+        best = consider(t, inside)
+
+    # --- Core-line vs edge-line events (linear: both directions fixed;
+    # the core direction is exactly +Y). Valid when both closest-point
+    # feet land within their segments.
+    for (p, q) in edges:
+        ed = q - p
+        el = jnp.linalg.norm(ed, axis=-1)
+        e_n = ed / jnp.maximum(el, 1e-20)[:, None]
+        # m = Y x e_n is the mutual-perpendicular axis.
+        m = jnp.stack([e_n[:, 2], jnp.zeros_like(el), -e_n[:, 0]], axis=-1)
+        mlen2 = jnp.sum(m * m, axis=-1)                      # = 1 - (Y.e)^2
+        m_n = m / jnp.maximum(jnp.sqrt(mlen2), 1e-20)[:, None]
+        c0 = jnp.sum((from_pos - p) * m_n, axis=-1)
+        c1 = jnp.sum(dir * m_n, axis=-1)
+        t = _toward_root(c0, c1, radius)
+        # Closest params between the lines at time t.
+        r0 = (from_pos + dir * t[:, None]) - p               # core center - p
+        b = e_n[:, 1]                                        # Y . e_n
+        cc = r0[:, 1]                                        # Y . r0
+        f = jnp.sum(e_n * r0, axis=-1)
+        denom = jnp.maximum(mlen2, 1e-12)
+        u_core = (b * f - cc) / denom
+        s_edge = (f - b * cc) / denom
+        h_eps = EPS_R * jnp.maximum(half_height, radius)
+        ok = (mlen2 > 1e-9) & \
+             (u_core >= -half_height - h_eps) & (u_core <= half_height + h_eps) & \
+             (s_edge >= -EPS_R * el) & (s_edge <= el * (1.0 + EPS_R))
+        best = consider(t, ok)
+
+    # --- Endpoint-sphere vs vertex events (quadratic, |dir| == 1 so
+    # A = 1). The realized pair is (endpoint, vertex): always actual
+    # points of both objects — no region check needed.
+    for e in (e0, e1):
+        for vv in v:
+            u0 = e - vv
+            B = 2.0 * jnp.sum(u0 * dir, axis=-1)
+            C = jnp.sum(u0 * u0, axis=-1) - radius * radius
+            best = consider(_first_quad_root(jnp.ones_like(B), B, C),
+                            jnp.ones_like(B, bool))
+
+    # --- Endpoint-sphere vs edge-line events (quadratic). Valid when the
+    # foot lies within the edge segment.
+    for e in (e0, e1):
+        for (p, q) in edges:
+            ed = q - p
+            el = jnp.linalg.norm(ed, axis=-1)
+            e_n = ed / jnp.maximum(el, 1e-20)[:, None]
+            u0 = e - p
+            dd = jnp.sum(dir * e_n, axis=-1)
+            u0e = jnp.sum(u0 * e_n, axis=-1)
+            A = 1.0 - dd * dd
+            B = 2.0 * (jnp.sum(u0 * dir, axis=-1) - u0e * dd)
+            C = jnp.sum(u0 * u0, axis=-1) - u0e * u0e - radius * radius
+            t = _first_quad_root(A, B, C)
+            s = u0e + dd * t
+            ok = (el > 1e-9) & (s >= -EPS_R * el) & (s <= el * (1.0 + EPS_R))
+            best = consider(t, ok)
+
+    # --- Vertex vs core-cylinder events (quadratic in the XZ plane).
+    # Valid when the vertex's Y lies within the core segment's Y span.
+    dxz = dir * jnp.array([1.0, 0.0, 1.0])
+    A_c = jnp.sum(dxz * dxz)
+    h_eps = EPS_R * jnp.maximum(half_height, radius)
+    for vv in v:
+        w = (vv - from_pos) * jnp.array([1.0, 0.0, 1.0])
+        B = -2.0 * jnp.sum(w * dxz, axis=-1)
+        C = jnp.sum(w * w, axis=-1) - radius * radius
+        t = _first_quad_root(jnp.broadcast_to(A_c, B.shape), B, C)
+        u = vv[:, 1] - (from_pos[1] + dir[1] * t)
+        ok = (u >= -half_height - h_eps) & (u <= half_height + h_eps)
+        best = consider(t, ok)
+
+    # Start-penetration: contact at t = 0 (reference contact eps).
+    dist0, _, _ = segment_triangle_distance(from_pos, half_height,
+                                            soup.v0, soup.v1, soup.v2)
+    pen0 = cand & (dist0 <= radius + CONTACT_EPS)
+
+    toi = jnp.where(cand, best, BIG)
+    toi = jnp.where(pen0, 0.0, toi)
+    contact = pen0 | (toi < BIG)
+    return contact, jnp.where(contact, toi, BIG)
+
+
+@partial(jax.jit, static_argnames=("blocking",))
+def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
+                 mask=jnp.uint32(0xFFFFFFFF), blocking=False,
+                 min_normal_y=None) -> CapsuleCastHit:
+    """Sweep a Y-axis capsule along ``delta`` against all triangles.
+
+    Analytic TOI (see module docstring) — one fused data-parallel pass,
+    no sequential advancement loop. ``min_normal_y``: None for plain /
+    blocking casts, or a scalar for ground-filtered casts (traced; pass
+    -2.0 to disable dynamically).
+    """
+    from_pos = jnp.asarray(from_pos, jnp.float32)
+    delta = jnp.asarray(delta, jnp.float32)
+    length, dir, cand = _cast_prefilter(soup, from_pos, delta, radius,
+                                        half_height, mask)
+    contact, toi = _analytic_toi(soup, from_pos, dir, length, radius,
+                                 half_height, cand)
+    toi = jnp.where(contact, toi, 0.0)
+    return _cast_select(soup, from_pos, delta, dir, toi, contact,
+                        jnp.sum(cand.astype(jnp.int32)),
+                        radius, half_height, blocking, min_normal_y)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "blocking"))
+def capsule_cast_ca(soup: TriangleSoup, from_pos, delta, radius, half_height,
+                    mask=jnp.uint32(0xFFFFFFFF), blocking=False,
+                    min_normal_y=None, max_iters: int = DEFAULT_CA_ITERS) -> CapsuleCastHit:
+    """Conservative-advancement cast — schedule-parity twin of the
+    reference (CollisionQuery.swift:1285-1394): advance step
+    max(dist - radius, max(0.02 r, 1e-4)), contact at dist <= r + 1e-5,
+    over-max-distance checked BEFORE the distance test, lastSafe advanced
+    only on non-contact iterations, 10-step bisection refine that returns
+    hi when the bracket is already < 1e-5 wide.
+    """
+    from_pos = jnp.asarray(from_pos, jnp.float32)
+    delta = jnp.asarray(delta, jnp.float32)
+    length, dir, cand = _cast_prefilter(soup, from_pos, delta, radius,
+                                        half_height, mask)
 
     min_adv = jnp.maximum(radius * 0.02, 1e-4)
 
@@ -166,41 +406,9 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
 
     lo_r, hi_r, _ = jax.lax.while_loop(refine_cond, refine, (lo, hi, jnp.int32(0)))
     toi = jnp.where(tiny, hi, hi_r)
-
-    # Hit attributes at the refined TOI.
-    center = from_pos + dir * toi[..., None]
-    dist, seg_p, tri_p = segment_triangle_distance(center, half_height,
-                                                   soup.v0, soup.v1, soup.v2)
-    tn = soup.normal
-    axis = seg_p - tri_p
-    axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20)
-    pen_n = jnp.where(jnp.sum(tn * dir, axis=-1, keepdims=True) > 0, -tn, tn)
-    normal = jnp.where((dist < 1e-6)[..., None], pen_n, axis_n)
-    tri_n = jnp.where(jnp.sum(tn * normal, axis=-1, keepdims=True) < 0, -tn, tn)
-
-    ok = contact
-    if blocking:
-        ok = ok & (jnp.sum(delta * normal, axis=-1) < 0) \
-                & (jnp.sum(delta * tri_n, axis=-1) < 0)
-    if min_normal_y is not None:
-        ok = ok & (tri_n[..., 1] >= min_normal_y)
-
-    toi_masked = jnp.where(ok, toi, BIG)
-    best = jnp.argmin(toi_masked)
-    best_ok = toi_masked[best] < BIG
-
-    return CapsuleCastHit(
-        hit=best_ok,
-        toi=jnp.where(best_ok, toi[best], BIG),
-        normal=normal[best],
-        tri_normal=tri_n[best],
-        position=tri_p[best],
-        tri_index=jnp.where(best_ok, best.astype(jnp.int32), -1),
-        mu_s=soup.mu_s[best],
-        mu_k=soup.mu_k[best],
-        flatten=soup.flatten[best] & best_ok,
-        iterations=jnp.sum(iters),
-    )
+    return _cast_select(soup, from_pos, delta, dir, toi, contact,
+                        jnp.sum(iters), radius, half_height, blocking,
+                        min_normal_y)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -160,3 +160,35 @@ def test_layer_mask(scene):
                     np.array([0.0, -1.0, 0.0], np.float32), 100.0,
                     mask=jnp.uint32(0x2))
     assert not bool(hit.hit)  # both meshes on layer 1
+
+
+def test_analytic_matches_conservative_advancement():
+    """The analytic TOI must agree with the reference-schedule CA cast
+    (256 iters + bisection) on dense random sweeps."""
+    rng = np.random.default_rng(7)
+    pts = []
+    for _ in range(40):
+        base = rng.uniform(-6, 6, 3)
+        pts.append(base + rng.uniform(-2.5, 2.5, (3, 3)))
+    positions = np.concatenate(pts).astype(np.float32)
+    b = CollisionWorldBuilder()
+    b.add_mesh(positions, np.arange(len(positions), dtype=np.int32), entity=0)
+    soup = transform_soup(b.build(), jnp.eye(4)[None])
+
+    n_hits = 0
+    for i in range(60):
+        start = rng.uniform(-9, 9, 3).astype(np.float32)
+        if i % 2 == 0:
+            t = pts[rng.integers(len(pts))]
+            delta = ((t.mean(0) - start) * rng.uniform(0.9, 1.6)).astype(np.float32)
+        else:
+            delta = rng.uniform(-12, 12, 3).astype(np.float32)
+        r = float(rng.uniform(0.15, 1.8))
+        hh = float(rng.uniform(0.05, 1.8))
+        g = Q.capsule_cast(soup, start, delta, r, hh)
+        w = Q.capsule_cast_ca(soup, start, delta, r, hh, max_iters=256)
+        assert bool(g.hit) == bool(w.hit), (i, float(g.toi), float(w.toi))
+        if bool(g.hit):
+            n_hits += 1
+            assert float(g.toi) == pytest.approx(float(w.toi), abs=1e-3)
+    assert n_hits >= 20
