@@ -59,13 +59,22 @@ def main():
     eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
     log(f"warmup/compile: {time.time()-t0:.1f}s")
 
-    # physics-only throughput (secondary)
-    t0 = time.time()
-    st = eng.state
+    # physics-only throughput (secondary). Scan-fused: device throughput of
+    # the substep program, not per-dispatch tunnel latency (the axon tunnel
+    # costs ~27 ms/dispatch; production frames are one fused program anyway).
+    import jax.numpy as jnp
     n_sim = 120
-    for _ in range(n_sim):
-        st = eng.stepper.substep(st, 1.0 / 60.0)
-    jax.tree.map(lambda x: x.block_until_ready(), st.body_pos)
+
+    @jax.jit
+    def sim_chunk(st):
+        def body(st, _):
+            return eng.stepper._substep_impl(st, jnp.float32(1.0 / 60.0)), 0
+        st, _ = jax.lax.scan(body, st, None, length=n_sim)
+        return st
+
+    jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
+    t0 = time.time()
+    jax.block_until_ready(sim_chunk(eng.state).body_pos)
     sim_dt = time.time() - t0
     log(f"physics: {n_sim/sim_dt:.1f} substeps/s ({sim_dt/n_sim*1000:.2f} ms/substep)")
 

@@ -351,11 +351,120 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     return out.reshape(height, width, 3)
 
 
+# Chunked compaction: secondary work (transparency layers 2+, mirror and
+# refraction bounces) touches a small, scattered subset of lanes, but a
+# dense pass pays full-resolution trace + shade regardless. Instead the set
+# lanes are gathered (jnp.nonzero keeps them in tile order, so chunks stay
+# spatially coherent) into fixed-size chunks processed until the set is
+# drained — EXACT for any live count, while the common case (a few percent
+# of lanes) costs one small chunk instead of a full-frame pass.
+_CHUNK = int(os.environ.get("SGE_RT_CHUNK", "32768"))
+
+
+def _chunked(mask, body, carry):
+    """Run ``body(idx, valid, carry) -> carry`` over <=_CHUNK-lane chunks of
+    the set lanes of ``mask`` until drained. ``idx`` is (cap,) int32 into
+    the flat lane space with out-of-range fill (scatters at fill indices
+    drop; gathers must clamp). Skips entirely when ``mask`` is empty."""
+    p = mask.shape[0]
+    cap = min(p, _CHUNK)
+
+    def cond(c):
+        m, _ = c
+        return jnp.any(m)
+
+    def step(c):
+        m, carry = c
+        idx = jnp.nonzero(m, size=cap, fill_value=p)[0]
+        valid = idx < p
+        carry = body(idx, valid, carry)
+        m = m.at[idx].set(False)
+        return m, carry
+
+    _, carry = jax.lax.while_loop(cond, step, (mask, carry))
+    return carry
+
+
+def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
+                 base, mask, color, shadow_layers, usage):
+    """One deterministic mirror bounce for the set lanes of ``mask``
+    (RayTracing.metalinc:382-542), chunk-compacted."""
+    p = mask.shape[0]
+
+    def body(idx, valid, color):
+        safe = jnp.minimum(idx, p - 1)
+        n_c = n[safe]
+        d_c = d[safe]
+        r_dir = normalize(reflect(d_c, n_c))
+        r_o = jnp.where(valid[:, None],
+                        hit_pos[safe] + n_c * bias[safe][..., None], 1.0e9)
+        rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, valid)
+        r_color, r_m, _, _, _ = _shade_hit(
+            geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
+            rfound, False, shadow_layers, usage=usage)
+        refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
+        refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
+            + BG_COLOR * (1.0 - refl_alpha)[..., None]
+        nov = jnp.clip(jnp.sum(n_c * normalize(-d_c), axis=-1), 0.0, 1.0)
+        met = metallic[safe]
+        f0 = 0.04 * (1.0 - met[..., None]) + base[safe] * met[..., None]
+        f = fresnel_schlick3(nov, f0)
+        new_c = color[safe] * (1.0 - f) + refl * f
+        return color.at[idx].set(new_c)
+
+    return _chunked(mask, body, color)
+
+
+def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
+                     transmission, ior, found, color, shadow_layers, usage):
+    """One refraction bounce with IOR eta flip + Fresnel mix for
+    transmissive hits (RayTracing.metalinc:544-713), chunk-compacted. The
+    refracted direction is computed densely (cheap vector math); only the
+    bounce trace + shade are chunked."""
+    p = found.shape[0]
+    view = normalize(-d)
+    cosi = jnp.sum(n * view, axis=-1)
+    flip = cosi < 0
+    n_r = jnp.where(flip[..., None], -n, n)
+    eta = jnp.where(flip, ior, 1.0 / ior)
+    t_dir = refract(-view, n_r, eta)
+    t_len = jnp.linalg.norm(t_dir, axis=-1)
+    has_t = found & (transmission > 0.001) & (t_len > 0)
+
+    def body(idx, valid, color):
+        safe = jnp.minimum(idx, p - 1)
+        t_dir_c = t_dir[safe]
+        t_dir_n = t_dir_c / jnp.maximum(t_len[safe][..., None], 1e-20)
+        t_o = jnp.where(valid[:, None],
+                        hit_pos[safe] + t_dir_c * bias[safe][..., None], 1.0e9)
+        ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, valid)
+        f_color, f_m, _, _, _ = _shade_hit(
+            geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
+            ffound, False, shadow_layers, usage=usage)
+        refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
+        refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
+        refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
+            + refr_bg * (1.0 - refr_alpha)[..., None]
+        f_s = fresnel_schlick(jnp.clip(jnp.sum(n[safe] * view[safe], axis=-1),
+                                       0.0, 1.0), jnp.float32(0.04))[..., None]
+        trans_color = refr * base[safe]
+        old_c = color[safe]
+        mix_color = trans_color * (1.0 - f_s) + old_c * f_s
+        new_c = old_c + (mix_color - old_c) * transmission[safe][..., None]
+        return color.at[idx].set(new_c)
+
+    return _chunked(has_t, body, color)
+
+
 def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, cam_pos, ray_o, ray_d,
                  max_layers: int = 3, shadow_layers: int = 4,
                  enable_mirror: bool = True, enable_refraction: bool = True):
     """Trace + shade a flat ray batch -> (P,3) colors (no dither/reshape).
+
+    Layer 1 is a dense full-batch trace + shade (every pixel needs it);
+    mirror/refraction bounces and transparency layers 2+ run chunk-compacted
+    (see _chunked) so their cost scales with the lanes that need them.
 
     The shardable core: embarrassingly parallel over rays (parallel.sharding
     partitions this over the device mesh)."""
@@ -363,87 +472,65 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     cam = jnp.asarray(cam_pos, jnp.float32)
     usage = texture_usage(geo)  # static: geo is concrete at trace time
 
-    accum = jnp.zeros((p, 3))
-    accum_alpha = jnp.zeros(p)
-    o, d = ray_o, ray_d
-    live0 = jnp.ones(p, bool)
+    d = ray_d
 
-    def layer_cond(carry):
-        _, live, _, accum_alpha, layer = carry
-        return jnp.any(live & (accum_alpha < 0.99)) & (layer < max_layers)
-
-    def layer_body(carry):
-        o, live, accum, accum_alpha, layer = carry
-        live = live & (accum_alpha < 0.99)
-        t, tri, u, v, found = _trace_batch(fg.bvh, o, d, live)
+    def shade_layer(o_l, d_l, t, tri, u, v, found, alpha_in):
+        """Shade one layer's hits incl. bounces -> (color, contrib, next_o)."""
         color, m, n, hit_pos, bias = _shade_hit(
-            geo, fg, ibl, lights, cam, o, d, t, tri, u, v, found,
+            geo, fg, ibl, lights, cam, o_l, d_l, t, tri, u, v, found,
             True, shadow_layers, usage=usage)
-
         if enable_mirror:
-            # Secondary traversal + shade runs only when some lane actually
-            # needs a mirror bounce (lax.cond executes one branch at runtime
-            # for unbatched predicates — most layers have zero mirror lanes).
             mirror = found & (m["roughness"] <= 0.08) & (m["metallic"] >= 0.8)
-
-            def do_mirror(color):
-                r_dir = normalize(reflect(d, n))
-                r_o = hit_pos + n * bias[..., None]
-                rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, mirror)
-                r_color, r_m, _, _, _ = _shade_hit(
-                    geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
-                    rfound, False, shadow_layers, usage=usage)
-                refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
-                refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
-                    + BG_COLOR * (1.0 - refl_alpha)[..., None]
-                nov = jnp.clip(jnp.sum(n * normalize(-d), axis=-1), 0.0, 1.0)
-                f0 = 0.04 * (1.0 - m["metallic"][..., None]) + m["base"] * m["metallic"][..., None]
-                f = fresnel_schlick3(nov, f0)
-                return jnp.where(mirror[..., None], color * (1.0 - f) + refl * f, color)
-
-            color = jax.lax.cond(jnp.any(mirror), do_mirror, lambda c: c, color)
-
+            color = _mirror_pass(geo, fg, ibl, lights, cam, d_l, n, hit_pos,
+                                 bias, m["metallic"], m["base"], mirror,
+                                 color, shadow_layers, usage)
         if enable_refraction:
-            transmissive = found & (m["transmission"] > 0.001)
-            view = normalize(-d)
-            cosi = jnp.sum(n * view, axis=-1)
-            flip = cosi < 0
-            n_r = jnp.where(flip[..., None], -n, n)
-            eta = jnp.where(flip, m["ior"], 1.0 / m["ior"])
-            t_dir = refract(-view, n_r, eta)
-            t_len = jnp.linalg.norm(t_dir, axis=-1)
-            has_t = transmissive & (t_len > 0)
+            color = _refraction_pass(geo, fg, ibl, lights, cam, d_l, n,
+                                     hit_pos, bias, m["base"],
+                                     m["transmission"], m["ior"], found,
+                                     color, shadow_layers, usage)
+        contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
+        next_o = hit_pos + d_l * (bias * 2.0)[..., None]
+        return color, contrib, next_o
 
-            def do_refraction(color):
-                t_dir_n = t_dir / jnp.maximum(t_len[..., None], 1e-20)
-                t_o = hit_pos + t_dir * bias[..., None]
-                ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, has_t)
-                f_color, f_m, _, _, _ = _shade_hit(
-                    geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
-                    ffound, False, shadow_layers, usage=usage)
-                refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
-                refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
-                refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
-                    + refr_bg * (1.0 - refr_alpha)[..., None]
-                f_s = fresnel_schlick(jnp.clip(jnp.sum(n * view, axis=-1), 0.0, 1.0),
-                                      jnp.float32(0.04))[..., None]
-                trans_color = refr * m["base"]
-                mix_color = trans_color * (1.0 - f_s) + color * f_s
-                return jnp.where(has_t[..., None],
-                                 color + (mix_color - color) * m["transmission"][..., None],
-                                 color)
+    # ---- layer 1: dense over every ray.
+    t, tri, u, v, found = _trace_batch(fg.bvh, ray_o, d, jnp.ones(p, bool))
+    color, contrib, next_o = shade_layer(ray_o, d, t, tri, u, v, found,
+                                         jnp.zeros(p))
+    accum = color * contrib[..., None]
+    accum_alpha = contrib
+    o = jnp.where(found[..., None], next_o, ray_o)
+    live = found
 
-            color = jax.lax.cond(jnp.any(has_t), do_refraction, lambda c: c, color)
+    # ---- layers 2..max_layers: chunk-compacted.
+    if max_layers > 1:
+        def layer_cond(carry):
+            _, live, _, accum_alpha, layer = carry
+            return jnp.any(live & (accum_alpha < 0.99)) & (layer < max_layers)
 
-        one_minus = (1.0 - accum_alpha)
-        contrib = jnp.where(found, m["alpha"] * one_minus, 0.0)
-        accum = accum + color * contrib[..., None]
-        accum_alpha = accum_alpha + contrib
+        def layer_body(carry):
+            o, live, accum, accum_alpha, layer = carry
+            live = live & (accum_alpha < 0.99)
 
-        o = jnp.where(found[..., None], hit_pos + d * (bias * 2.0)[..., None], o)
-        return o, live & found, accum, accum_alpha, layer + 1
+            def chunk(idx, valid, carry):
+                o, live_next, accum, accum_alpha = carry
+                safe = jnp.minimum(idx, p - 1)
+                oc = jnp.where(valid[:, None], o[safe], 1.0e9)
+                dc = d[safe]
+                t, tri, u, v, found = _trace_batch(fg.bvh, oc, dc, valid)
+                color, contrib, next_o = shade_layer(
+                    oc, dc, t, tri, u, v, found, accum_alpha[safe])
+                accum = accum.at[idx].add(color * contrib[..., None])
+                accum_alpha = accum_alpha.at[idx].add(contrib)
+                o = o.at[idx].set(jnp.where(found[:, None], next_o, o[safe]))
+                live_next = live_next.at[idx].set(found & valid)
+                return o, live_next, accum, accum_alpha
 
-    _, _, accum, accum_alpha, _ = jax.lax.while_loop(
-        layer_cond, layer_body, (o, live0, accum, accum_alpha, jnp.int32(0)))
+            o, live_next, accum, accum_alpha = _chunked(
+                live, chunk, (o, jnp.zeros_like(live), accum, accum_alpha))
+            return o, live_next, accum, accum_alpha, layer + 1
+
+        o, live, accum, accum_alpha, _ = jax.lax.while_loop(
+            layer_cond, layer_body, (o, live, accum, accum_alpha, jnp.int32(1)))
 
     return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]

@@ -162,3 +162,95 @@ def test_mirror_override(tmp_path):
     assert left["x"][2] == pytest.approx(-right["x"][2], rel=0.05)
     # y channel: cos shifted+negated -> a1 ~ +5... source a1 is 5, shifted -> -5, sign -1 -> +5
     assert left["y"][1] == pytest.approx(right["y"][1], rel=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Golden parity: the checked-in reference profiles are the tool's golden
+# outputs (SURVEY §4). The source clips are not in-tree (binary Mixamo
+# exports never checked in), so the round trip synthesizes FBX curves FROM
+# the golden coefficients, refits with the full pipeline (FK foot contacts +
+# phase cascade + DFT fit), and requires the result to reproduce the golden
+# evaluation, allowing one global circular phase re-origin (the cascade may
+# legitimately rebase phi to a contact onset).
+
+
+def _eval_coeffs(c, phi, order=4):
+    c = np.asarray(c, np.float64)
+    out = np.full_like(phi, c[0], dtype=np.float64)
+    for k in range(1, order + 1):
+        if 2 * k >= len(c):
+            break
+        out = out + c[2 * k - 1] * np.cos(2 * np.pi * k * phi) \
+            + c[2 * k] * np.sin(2 * np.pi * k * phi)
+    return out
+
+
+def _profile_channels(data):
+    """{(bone, channel, axis): coeffs} for non-null channels."""
+    out = {}
+    for bone, ch in data["bones"].items():
+        for channel in ("translation", "rotation"):
+            chd = ch.get(channel) or {}
+            for axis in ("x", "y", "z"):
+                co = chd.get(axis)
+                if co:
+                    out[(bone, channel, axis)] = co
+    return out
+
+
+@pytest.mark.parametrize("clip", ["Idle", "Walking"])
+def test_golden_profile_roundtrip(tmp_path, clip):
+    src = json.loads(open(f"/root/reference/Game/{clip}.motionProfile.json").read())
+    dur = float(src["duration"])
+    order = int(src["order"])
+    cycle = float(src["phase"]["cycle_duration"])
+    golden = _profile_channels(src)
+
+    bones = {}
+    for (bone, channel, axis), co in golden.items():
+        def fn(t, co=co):
+            return float(_eval_coeffs(co, np.asarray([(t % cycle) / cycle]),
+                                      order)[0])
+        bones.setdefault(bone, {}).setdefault(channel, {})[axis] = fn
+
+    fbx = tmp_path / f"{clip}.fbx"
+    fbx.write_text(make_ascii_fbx(bones, dur, n_keys=int(dur * 240) + 1))
+    out = tmp_path / "refit.json"
+    FM.fit(str(fbx), str(out), clip_name=clip, fps=src["sample_fps"],
+           order=order, skeleton_json=REF_SKEL)
+    refit = json.loads(out.read_text())
+
+    assert refit["duration"] == pytest.approx(dur, rel=0.02)
+    got = _profile_channels(refit)
+    keys = sorted(set(golden) & set(got))
+    assert len(keys) >= 0.95 * len(golden)
+
+    g = 512
+    phi = np.arange(g) / g
+    a = np.stack([_eval_coeffs(golden[k], phi, order) for k in keys])  # (C,G)
+    b = np.stack([_eval_coeffs(got[k], phi, order) for k in keys])
+
+    # one global circular shift (brute force over the phase grid)
+    errs = []
+    for s in range(g):
+        errs.append(np.abs(a - np.roll(b, s, axis=1)).mean())
+    s_best = int(np.argmin(errs))
+    b_al = np.roll(b, s_best, axis=1)
+
+    span = a.max(axis=1) - a.min(axis=1)
+    tol = np.maximum(0.05 * span, 0.05)
+    worst = np.abs(a - b_al).max(axis=1)
+    bad = [(keys[i], float(worst[i]), float(tol[i]))
+           for i in range(len(keys)) if worst[i] > tol[i]]
+    assert not bad, f"{len(bad)} channels off (shift {s_best}/{g}): {bad[:5]}"
+
+
+def test_binary_fbx_curves():
+    """tools/fbx.py-backed binary parsing binds mixamorig curves (the
+    in-tree Y Bot.fbx carries a 2-key T-pose take)."""
+    anims, duration = FM.parse_fbx_curves_binary(
+        "/root/reference/ExternalResources/Y Bot.fbx")
+    assert any(n.startswith("mixamorig") for n in anims)
+    hips = anims.get("mixamorig:Hips") or anims.get("mixamorig9:Hips")
+    assert hips and (hips["translation"] or hips["rotation"])
+    assert duration > 0

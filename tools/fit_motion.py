@@ -102,6 +102,57 @@ def parse_fbx_curves(text: str):
     return bone_anims, max(max_time, 0.001)
 
 
+_BINARY_MAGIC = b"Kaydara FBX Binary"
+
+
+def parse_fbx_curves_binary(path):
+    """Binary-FBX animation curves via tools/fbx.py (same contract as
+    parse_fbx_curves). Walks Objects for Model(LimbNode)/AnimationCurve and
+    Connections for the OP bindings the ASCII regexes match
+    (reference: Tools/FitMotion/fit_motion.py:43-110 — ASCII-only there)."""
+    from fbx import parse_fbx
+    root = parse_fbx(str(path))
+    objects = root.find("Objects")
+    connections = root.find("Connections")
+    if objects is None or connections is None:
+        return {}, 0.001
+
+    models, curves = {}, {}
+    for n in objects.children:
+        if n.name == "Model" and n.prop(2) == "LimbNode":
+            # props[1] is "name\x00\x01Model" in binary files
+            models[n.prop(0)] = str(n.prop(1)).split("\x00")[0]
+        elif n.name == "AnimationCurve":
+            kt, kv = n.find("KeyTime"), n.find("KeyValueFloat")
+            if kt is not None and kv is not None:
+                curves[n.prop(0)] = Curve(
+                    np.asarray(kt.prop(0), np.float64) / TIME_SCALE,
+                    np.asarray(kv.prop(0), np.float64))
+
+    node_binding, curve_binding = {}, {}
+    for c in connections.find_all("C"):
+        if c.prop(0) != "OP" or len(c.props) < 4:
+            continue
+        src, dst, prop = c.prop(1), c.prop(2), str(c.prop(3))
+        if prop in ("Lcl Translation", "Lcl Rotation") and dst in models:
+            node_binding[src] = (models[dst], prop.split()[-1].lower())
+        elif prop in ("d|X", "d|Y", "d|Z"):
+            curve_binding[src] = (dst, prop[-1].lower())
+
+    bone_anims = {}
+    max_time = 0.0
+    for cid, (nid, axis) in curve_binding.items():
+        curve = curves.get(cid)
+        node = node_binding.get(nid)
+        if curve is None or node is None:
+            continue
+        bone, channel = node
+        if len(curve.times):
+            max_time = max(max_time, float(curve.times[-1]))
+        bone_anims.setdefault(bone, {"translation": {}, "rotation": {}})[channel][axis] = curve
+    return bone_anims, max(max_time, 0.001)
+
+
 # ---------------------------------------------------------------------------
 # FK + foot contacts
 
@@ -315,8 +366,12 @@ def fit_fourier(phi: np.ndarray, values: np.ndarray, order: int) -> list:
 
 def fit(fbx_path, output_path, clip_name="Walking", fps=60, order=4,
         skeleton_json=None, smooth_window=1, overrides_path=None):
-    text = Path(fbx_path).read_text()
-    bone_anims, duration = parse_fbx_curves(text)
+    with open(fbx_path, "rb") as f:
+        head = f.read(len(_BINARY_MAGIC))
+    if head == _BINARY_MAGIC:
+        bone_anims, duration = parse_fbx_curves_binary(fbx_path)
+    else:
+        bone_anims, duration = parse_fbx_curves(Path(fbx_path).read_text())
 
     overrides = {}
     if overrides_path and Path(overrides_path).exists():
