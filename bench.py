@@ -74,9 +74,16 @@ def main():
 
     jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
     t0 = time.time()
-    jax.block_until_ready(sim_chunk(eng.state).body_pos)
+    end_state = sim_chunk(eng.state)
+    jax.block_until_ready(end_state.body_pos)
     sim_dt = time.time() - t0
     log(f"physics: {n_sim/sim_dt:.1f} substeps/s ({sim_dt/n_sim*1000:.2f} ms/substep)")
+    # per-substep collision stats (CollisionQueryStats analog): counters for
+    # the LAST substep, reset per refresh.
+    qc = np.asarray(end_state.ctrl.query_candidates)
+    qs = np.asarray(end_state.ctrl.query_casts)
+    log(f"collision stats (last substep): casts={int(qs.sum())} "
+        f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
 
     # full frames
     t0 = time.time()

@@ -32,6 +32,12 @@ CHUNK_SIZE = 512.0
 class WorldState(NamedTuple):
     """All mutable per-entity state (E entities)."""
 
+    # Entity liveness (runtime createEntity/destroyEntity analog,
+    # reference: Game/World.swift:44-57). Capacity is static; spawn/despawn
+    # are mask flips inside jit (see spawn_entity/despawn_entity). Dead
+    # entities are skipped by every system, their collision triangles are
+    # invalidated, and extraction parks their render instances.
+    alive: jnp.ndarray        # (E,) bool
     # TransformComponent (TRS)
     trs_t: jnp.ndarray        # (E,3)
     trs_r: jnp.ndarray        # (E,4) quat
@@ -131,10 +137,14 @@ class WorldBuilder:
     def __init__(self):
         self.names: list = []
         self.c: dict[str, dict[int, dict]] = {}
+        self._alive: list = []
 
-    def create_entity(self, name: Optional[str] = None) -> int:
+    def create_entity(self, name: Optional[str] = None, alive: bool = True) -> int:
+        """``alive=False`` reserves a dormant slot (components configured but
+        skipped by every system) for runtime spawn_entity reuse."""
         e = len(self.names)
         self.names.append(name or f"entity_{e}")
+        self._alive.append(bool(alive))
         return e
 
     def add(self, e: int, comp: str, **kw):
@@ -308,6 +318,7 @@ class WorldBuilder:
             local[e] = (w - sh * CHUNK_SIZE).astype(np.float32)
 
         state = WorldState(
+            alive=jnp.asarray(np.asarray(self._alive, bool)),
             trs_t=jnp.asarray(t), trs_r=jnp.asarray(r), trs_s=jnp.asarray(s),
             wp_chunk=jnp.asarray(chunk), wp_local=jnp.asarray(local),
             wp_prev_chunk=jnp.asarray(chunk), wp_prev_local=jnp.asarray(local),
@@ -335,3 +346,46 @@ class WorldBuilder:
             pose_phase=jnp.zeros(n),
         )
         return spec, state
+
+
+# ---------------------------------------------------------------------------
+# Runtime entity lifecycle (reference: Game/World.swift:44-57). Fixed
+# capacity + alive mask: spawn/despawn are jit-safe array updates on a slot
+# whose component configuration was reserved at build time.
+
+
+def despawn_entity(state: WorldState, e) -> WorldState:
+    """destroyEntity analog: the slot stops simulating, colliding and
+    rendering; its dynamic state is neutralized for clean reuse."""
+    z3 = jnp.zeros(3)
+    return state._replace(
+        alive=state.alive.at[e].set(False),
+        body_vel=state.body_vel.at[e].set(z3),
+        body_ang_vel=state.body_ang_vel.at[e].set(z3),
+        intent_vel=state.intent_vel.at[e].set(z3),
+        intent_jump=state.intent_jump.at[e].set(False),
+        intent_dodge=state.intent_dodge.at[e].set(False),
+    )
+
+
+def spawn_entity(state: WorldState, e, position=None, rotation=None) -> WorldState:
+    """createEntity analog into a dormant/despawned slot ``e``: resets the
+    slot's dynamic state and enables it. Component layout (which systems act
+    on the slot) is the build-time reservation."""
+    st = despawn_entity(state, e)  # neutralize clocks/velocities first
+    pos = state.body_pos[e] if position is None else jnp.asarray(position, jnp.float32)
+    rot = state.body_rot[e] if rotation is None else jnp.asarray(rotation, jnp.float32)
+    chunk, local = world_to_chunk_local(pos)
+    return st._replace(
+        alive=st.alive.at[e].set(True),
+        trs_t=st.trs_t.at[e].set(pos),
+        trs_r=st.trs_r.at[e].set(rot),
+        body_pos=st.body_pos.at[e].set(pos),
+        body_rot=st.body_rot.at[e].set(rot),
+        body_prev_pos=st.body_prev_pos.at[e].set(pos),
+        body_prev_rot=st.body_prev_rot.at[e].set(rot),
+        wp_chunk=st.wp_chunk.at[e].set(chunk),
+        wp_local=st.wp_local.at[e].set(local),
+        wp_prev_chunk=st.wp_prev_chunk.at[e].set(chunk),
+        wp_prev_local=st.wp_prev_local.at[e].set(local),
+    )

@@ -86,6 +86,11 @@ class ControllerState(NamedTuple):
     manifold_tri: jnp.ndarray        # (N,4) int32 (-1 empty)
     manifold_normal: jnp.ndarray     # (N,4,3)
     manifold_frames: jnp.ndarray     # (N,) int32
+    # Per-substep collision query stats, reset each pipeline step — the
+    # TPU form of CollisionQueryStats counted per query and reset per
+    # refresh (reference: CollisionQuery.swift:280-318, Systems.swift:176).
+    query_candidates: jnp.ndarray    # (N,) int32 prefilter-passing triangles
+    query_casts: jnp.ndarray         # (N,) int32 casts + overlap tests issued
 
     @staticmethod
     def initial(n):
@@ -102,6 +107,8 @@ class ControllerState(NamedTuple):
             manifold_tri=jnp.full((n, MANIFOLD_SLOTS), -1, jnp.int32),
             manifold_normal=jnp.zeros((n, MANIFOLD_SLOTS, 3), jnp.float32),
             manifold_frames=jnp.zeros((n,), jnp.int32),
+            query_candidates=jnp.zeros((n,), jnp.int32),
+            query_casts=jnp.zeros((n,), jnp.int32),
         )
 
 
@@ -379,8 +386,11 @@ def _depenetrate(soup, position, velocity, params_i, state_i, iterations=4):
 
     def body(carry):
         (position, velocity, m_tri, m_normal, m_frames, side_normal, side_frames,
-         normal_sum, normal_weight, did, stop, i) = carry
+         normal_sum, normal_weight, did, q_cand, q_casts, stop, i) = carry
+        ran = ~stop
         hits = Q.capsule_overlap_all(soup, position, radius, half_height, mask, k=8)
+        q_cand = q_cand + jnp.where(ran, hits.candidates, 0)
+        q_casts = q_casts + ran.astype(jnp.int32)
         any_hit = hits.valid[0]
         stop = stop | ~any_hit
         act = ~stop
@@ -419,20 +429,23 @@ def _depenetrate(soup, position, velocity, params_i, state_i, iterations=4):
         normal_sum = normal_sum + jnp.where(act, depen_n * max_depth, 0.0)
         normal_weight = normal_weight + jnp.where(act, max_depth, 0.0)
         return (position, velocity, m_tri, m_normal, m_frames, side_normal,
-                side_frames, normal_sum, normal_weight, did, stop, i + 1)
+                side_frames, normal_sum, normal_weight, did, q_cand, q_casts,
+                stop, i + 1)
 
     init = (position, velocity, m_tri0, m_normal0, m_frames0, side_normal0,
             side_frames0, jnp.zeros(3), jnp.float32(0.0),
-            jnp.asarray(False), jnp.asarray(False), jnp.int32(0))
+            jnp.asarray(False), jnp.int32(0), jnp.int32(0),
+            jnp.asarray(False), jnp.int32(0))
     (position, velocity, m_tri, m_normal, m_frames, side_normal, side_frames,
-     normal_sum, normal_weight, did, _, _) = jax.lax.while_loop(cond, body, init)
+     normal_sum, normal_weight, did, q_cand, q_casts, _, _) = \
+        jax.lax.while_loop(cond, body, init)
 
     avg = jnp.where(normal_weight > 1e-6, normal_sum / jnp.maximum(normal_weight, 1e-20),
                     normal_sum)
     avg_len = jnp.linalg.norm(avg)
     depen_normal = avg / jnp.maximum(avg_len, 1e-20)
     return (position, velocity, m_tri, m_normal, m_frames, side_normal,
-            side_frames, depen_normal, did & (avg_len > 1e-20))
+            side_frames, depen_normal, did & (avg_len > 1e-20), q_cand, q_casts)
 
 
 # ---------------------------------------------------------------------------
@@ -556,7 +569,9 @@ def _ground_contact(soup, position, velocity, params_i,
                 grounded_near=near & center_ok, normal=normal, tri=tri,
                 distance=distance, sliding=sliding,
                 transition_frames=transition_frames_out,
-                mu_s=center.mu_s, mu_k=center.mu_k)
+                mu_s=center.mu_s, mu_k=center.mu_k,
+                q_cand=jnp.sum(probes.iterations),
+                q_casts=jnp.int32(probes.iterations.shape[0]))
 
 
 # ---------------------------------------------------------------------------
@@ -616,8 +631,8 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
     depen_state = dict(m_tri=m_tri, m_normal=m_normal, m_frames=m_frames,
                        side_normal=side_normal, side_frames=side_frames)
     (position, velocity, m_tri, m_normal, m_frames, side_normal, side_frames,
-     depen_normal, depen_ok) = _depenetrate(soup, position, velocity, params_i,
-                                            depen_state, depen_iterations)
+     depen_normal, depen_ok, dq_cand, dq_casts) = _depenetrate(
+         soup, position, velocity, params_i, depen_state, depen_iterations)
     into = jnp.sum(remaining * depen_normal)
     remaining = jnp.where(depen_ok & (into < 0),
                           remaining - depen_normal * into, remaining)
@@ -632,14 +647,16 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
 
     def slide_body(carry):
         (position, remaining, velocity, m_tri, m_normal, m_frames,
-         side_normal, side_frames, last_slide_normal, have_last, loop_done,
-         it) = carry
+         side_normal, side_frames, last_slide_normal, have_last, q_cand,
+         q_casts, loop_done, it) = carry
         length = jnp.linalg.norm(remaining)
         it_active = ~loop_done & (length >= 1e-6)
 
         s_hit = Q.capsule_cast(soup, position, remaining, params_i["radius"],
                                params_i["half_height"], mask=params_i["mask"],
                                blocking=True)
+        q_cand = q_cand + jnp.where(it_active, s_hit.iterations, 0)
+        q_casts = q_casts + it_active.astype(jnp.int32)
         # Pre-selection cached side-normal substitution (Systems.swift:1683-1694).
         cached_n, cached_found = _manifold_lookup(s_hit.tri_index, m_tri, m_normal)
         sub_ok = s_hit.hit & (s_hit.normal[1] < params_i["min_ground_dot"]) & \
@@ -698,14 +715,14 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
         loop_done = loop_done | (it_active & (~any_hit | done))
         return (position, remaining, velocity, m_tri, m_normal, m_frames,
                 side_normal, side_frames, last_slide_normal, have_last,
-                loop_done, it + 1)
+                q_cand, q_casts, loop_done, it + 1)
 
     slide_init = (position, remaining, velocity, m_tri, m_normal, m_frames,
                   side_normal, side_frames, jnp.zeros(3), jnp.asarray(False),
-                  jnp.asarray(False), jnp.int32(0))
+                  dq_cand, dq_casts, jnp.asarray(False), jnp.int32(0))
     (position, remaining, velocity, m_tri, m_normal, m_frames, side_normal,
-     side_frames, _, _, _, _) = jax.lax.while_loop(slide_cond, slide_body,
-                                                   slide_init)
+     side_frames, _, _, q_cand, q_casts, _, _) = jax.lax.while_loop(
+         slide_cond, slide_body, slide_init)
 
     # 6. Ground contact.
     g = _ground_contact(soup, position, velocity, params_i,
@@ -731,6 +748,8 @@ def _step_single(soup, platforms, snapshot, self_idx, position, velocity,
         m_tri=keep(m_tri, state_i["m_tri"]),
         m_normal=keep(m_normal, state_i["m_normal"]),
         m_frames=keep(m_frames, state_i["m_frames"]),
+        query_candidates=jnp.where(active, q_cand + g["q_cand"], 0),
+        query_casts=jnp.where(active, q_casts + g["q_casts"], 0),
     )
     return keep(g["position"], state_i["position0"]), \
         keep(g["velocity"], state_i["velocity0"]), out_state
@@ -808,5 +827,7 @@ class CharacterPipeline:
             ground_distance=out["ground_distance"],
             side_normal=out["side_normal"], side_frames=out["side_frames"],
             manifold_tri=out["m_tri"], manifold_normal=out["m_normal"],
-            manifold_frames=out["m_frames"])
+            manifold_frames=out["m_frames"],
+            query_candidates=out["query_candidates"],
+            query_casts=out["query_casts"])
         return new_pos, new_vel, new_state

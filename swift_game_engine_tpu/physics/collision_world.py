@@ -136,11 +136,14 @@ class CollisionWorldBuilder:
         )
 
 
-def transform_soup(local: LocalTriangles, transforms) -> TriangleSoup:
+def transform_soup(local: LocalTriangles, transforms,
+                   entity_alive=None) -> TriangleSoup:
     """Bake local triangles to world space from per-entity 4x4 transforms.
 
     ``transforms``: (E, 4, 4). Runs under jit each fixed step — replaces the
-    reference's incremental updateTransforms + BVH refit.
+    reference's incremental updateTransforms + BVH refit. ``entity_alive``
+    ((E,) bool, optional) invalidates triangles bound to despawned entities
+    (the destroyEntity analog of the reference's structural rebuild).
     """
     m = transforms[local.entity]               # (T,4,4)
     rot = m[..., :3, :3]
@@ -150,9 +153,12 @@ def transform_soup(local: LocalTriangles, transforms) -> TriangleSoup:
         return jnp.einsum("tij,tj->ti", rot, p) + t
 
     v0, v1, v2 = xf(local.p0), xf(local.p1), xf(local.p2)
+    valid = local.valid
+    if entity_alive is not None:
+        valid = valid & entity_alive[local.entity]
     return TriangleSoup(
         v0=v0, v1=v1, v2=v2,
         normal=triangle_normal(v0, v1, v2),
         mu_s=local.mu_s, mu_k=local.mu_k, flatten=local.flatten,
-        layer=local.layer, valid=local.valid,
+        layer=local.layer, valid=valid,
     )

@@ -77,6 +77,7 @@ class CapsuleOverlapHits(NamedTuple):
     position: jnp.ndarray     # (K,3)
     tri_index: jnp.ndarray    # (K,) int32, -1 where no hit
     valid: jnp.ndarray        # (K,) bool
+    candidates: jnp.ndarray   # () int32 — stats (CollisionQuery.swift:280-318)
 
 
 class RaycastHit(NamedTuple):
@@ -441,6 +442,7 @@ def capsule_overlap_all(soup: TriangleSoup, center, radius, half_height,
         position=tri_p[top_idx],
         tri_index=jnp.where(valid, top_idx.astype(jnp.int32), -1),
         valid=valid,
+        candidates=jnp.sum(ok.astype(jnp.int32)),
     )
 
 

@@ -99,11 +99,15 @@ def separate_agents(soup: TriangleSoup, position, velocity,
         remaining = jnp.where(moved, delta, jnp.zeros(3))
         vel_dummy = vel
         done = ~moved
+        q_cand = jnp.int32(0)
+        q_casts = jnp.int32(0)
         for _ in range(slide_iterations):
             seg = jnp.linalg.norm(remaining)
             act = ~done & (seg >= 1e-6)
             hit = Q.capsule_cast(soup, pos, remaining, pr_r, pr_hh,
                                  mask=mask, blocking=True)
+            q_cand = q_cand + jnp.where(act, hit.iterations, 0)
+            q_casts = q_casts + act.astype(jnp.int32)
             new_pos, new_rem, _, hdone, _ = _resolve_hit(
                 remaining, seg, pos, vel_dummy,
                 hit.toi, hit.normal, hit.tri_normal, jnp.asarray(True),
@@ -121,6 +125,8 @@ def separate_agents(soup: TriangleSoup, position, velocity,
         do_snap = moved & (vel[1] <= 0) & (params.snap_distance[idx] > 0)
         snap = Q.capsule_cast(soup, pos, DOWN * params.snap_distance[idx],
                               pr_r, pr_hh, mask=mask, min_normal_y=mgd)
+        q_cand = q_cand + jnp.where(do_snap, snap.iterations, 0)
+        q_casts = q_casts + do_snap.astype(jnp.int32)
         snap_ok = do_snap & snap.hit & (snap.toi <= params.snap_distance[idx])
         raw = jnp.maximum(snap.toi - params.ground_snap_skin[idx], 0.0)
         move = jnp.minimum(raw, params.ground_snap_max_step[idx])
@@ -137,14 +143,18 @@ def separate_agents(soup: TriangleSoup, position, velocity,
                 jnp.where(active, gr, st_gr),
                 jnp.where(active, gn, st_gn),
                 jnp.where(active, nrm, st_n),
-                jnp.where(active, tri, st_tri))
+                jnp.where(active, tri, st_tri),
+                jnp.where(active, q_cand, 0),
+                jnp.where(active, q_casts, 0))
 
-    new_pos, gr, gn, nrm, tri = jax.vmap(post)(
+    new_pos, gr, gn, nrm, tri, q_cand, q_casts = jax.vmap(post)(
         jnp.arange(n), start_position, position, velocity,
         state.grounded, state.grounded_near, state.ground_normal, state.ground_tri)
 
     new_state = state._replace(grounded=gr, grounded_near=gn,
-                               ground_normal=nrm, ground_tri=tri)
+                               ground_normal=nrm, ground_tri=tri,
+                               query_candidates=state.query_candidates + q_cand,
+                               query_casts=state.query_casts + q_casts)
     active3 = (params.active & params.agent_solid)[:, None]
     velocity = jnp.where(active3, velocity, velocity0)
     return new_pos, velocity, new_state

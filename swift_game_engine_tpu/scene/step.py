@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .. import math3d as m3
 from ..ecs.world import (WorldState, SceneSpec, BODY_STATIC, BODY_DYNAMIC,
-                         BODY_KINEMATIC, world_to_chunk_local,
+                         BODY_KINEMATIC, CHUNK_SIZE, world_to_chunk_local,
                          chunk_local_to_world, canonicalize)
 from ..physics import systems as S
 from ..physics.collision_world import LocalTriangles, transform_soup
@@ -54,9 +54,15 @@ class Stepper:
     def __init__(self, spec: SceneSpec, collision: LocalTriangles,
                  pose_engine: PoseEngine = None, bank: ProfileBank = None,
                  action_profile: ActionProfile = None,
-                 inv_bind_override=None):
+                 inv_bind_override=None, chunk_radius: int = 2):
         self.spec = spec
         self.collision = collision
+        # ActiveChunk radius (Components.swift:150 radiusChunks default 2);
+        # the active set/origin need a player with a WorldPosition — without
+        # one the system is a no-op (Systems.swift:2360-2364 early return).
+        self.chunk_radius = int(chunk_radius)
+        p = np.nonzero(spec.is_player & spec.has_wp)[0]
+        self.player_idx = int(p[0]) if len(p) else None
         self.pose_engine = pose_engine
         self.bank = bank
         self.action_profile = action_profile
@@ -82,8 +88,11 @@ class Stepper:
 
     def _substep_impl(self, state: WorldState, dt) -> WorldState:
         spec = self.spec
-        m = self.m
         dt = jnp.float32(dt)
+        # Runtime liveness: every system mask is gated by the alive mask so
+        # despawned entities stop simulating (World.destroyEntity analog).
+        alive = state.alive
+        m = {k: v & alive for k, v in self.m.items()}
 
         # --- pre: Spin (Systems.swift:97-119)
         spin_rot = S.spin_step(state.body_rot, jnp.asarray(spec.spin["speed"]),
@@ -102,6 +111,31 @@ class Stepper:
             state.osc_time, dt, enabled=m["has_osc"])
         intent_vel = jnp.where((m["has_osc"] & m["has_intent"])[:, None],
                                osc_vel, state.intent_vel)
+
+        # --- pre: ActiveChunk (Systems.swift:2354-2411) — Chebyshev
+        # chunk-radius active set centered on the player's chunk; the physics
+        # origin becomes that chunk (originLocal = 0). Inactive entities stop
+        # simulating and their static collision drops out of the query set
+        # (Systems.swift:174 activeStaticEntityIDs); they still render.
+        # --- pre: PhysicsLocalize (Systems.swift:2310-2351) — every
+        # WorldPosition entity's transform/body position is rebased to
+        # origin-relative floats: (chunk - center) stays exact in int32, so
+        # float precision is independent of distance from the world origin.
+        trs_t = state.trs_t
+        body_pos = state.body_pos
+        center = jnp.zeros(3, jnp.int32)
+        if self.player_idx is not None:
+            center = state.wp_chunk[self.player_idx]
+            rel_chunk = state.wp_chunk - center
+            cheb = jnp.max(jnp.abs(rel_chunk), axis=-1) <= self.chunk_radius
+            chunk_active = ~self.m["has_wp"] | cheb
+            alive = alive & chunk_active
+            m = {k: v & chunk_active for k, v in m.items()}
+            local_world = rel_chunk.astype(jnp.float32) * CHUNK_SIZE + state.wp_local
+            haswp_alive = state.alive & self.m["has_wp"]
+            trs_t = jnp.where(haswp_alive[:, None], local_world, trs_t)
+            body_pos = jnp.where((haswp_alive & self.m["has_body"])[:, None],
+                                 local_world, body_pos)
 
         # --- pre: Dodge (drives intent + triggers action restart)
         dodge, overrides = S.dodge_step(state.dodge, body_rot,
@@ -128,28 +162,42 @@ class Stepper:
             body_vel, grounded, intent_jump & m["has_intent"] & m["has_controller"])
         ctrl = state.ctrl._replace(grounded=grounded)
 
-        # --- pre: PhysicsBeginStep (latch prev)
+        # --- pre: PhysicsBeginStep (latch prev, in the localized frame)
         latch = m["has_body"] & (self.body_type != BODY_STATIC)
-        body_prev_pos = jnp.where(latch[:, None], state.body_pos, state.body_prev_pos)
+        body_prev_pos = jnp.where(latch[:, None], body_pos, state.body_prev_pos)
         body_prev_rot = jnp.where(latch[:, None], body_rot, state.body_prev_rot)
 
-        # --- fixed: PlatformMotion
+        # --- fixed: PlatformMotion. The platform's orbit origin is
+        # recovered from its (localized) current position minus the current
+        # offset (PhysicsLocalize does the same, Systems.swift:2339-2348),
+        # so the motion stays exact in the active-origin frame.
+        p_axis = jnp.asarray(spec.platform["axis"])
+        p_axis_len = jnp.linalg.norm(p_axis, axis=-1, keepdims=True)
+        p_axis_n = jnp.where(p_axis_len > 1e-4,
+                             p_axis / jnp.maximum(p_axis_len, 1e-20),
+                             jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]),
+                                              p_axis.shape))
+        p_speed = jnp.asarray(spec.platform["speed"])
+        p_amp = jnp.asarray(spec.platform["amplitude"])
+        p_phase = jnp.asarray(spec.platform["phase"])
+        offset_now = jnp.sin(state.platform_time * p_speed + p_phase) * p_amp
+        plat_origin = jnp.where((m["has_platform"] & self.m["has_wp"])[:, None],
+                                body_pos - p_axis_n * offset_now[:, None],
+                                jnp.asarray(spec.platform["origin"]))
         plat_time, plat_pos = S.kinematic_platform_motion(
-            jnp.asarray(spec.platform["origin"]), jnp.asarray(spec.platform["axis"]),
-            jnp.asarray(spec.platform["amplitude"]), jnp.asarray(spec.platform["speed"]),
-            jnp.asarray(spec.platform["phase"]), state.platform_time, dt,
-            enabled=m["has_platform"])
+            plat_origin, p_axis, p_amp, p_speed, p_phase,
+            state.platform_time, dt, enabled=m["has_platform"])
         is_plat = m["has_platform"] & (self.body_type == BODY_KINEMATIC)
-        body_pos = jnp.where(is_plat[:, None], plat_pos, state.body_pos)
+        body_pos = jnp.where(is_plat[:, None], plat_pos, body_pos)
         body_vel = jnp.where(is_plat[:, None], 0.0, body_vel)
-        trs_t = jnp.where(is_plat[:, None], plat_pos, state.trs_t)
+        trs_t = jnp.where(is_plat[:, None], plat_pos, trs_t)
 
         # --- fixed: CollisionQueryRefresh — retransform the soup from current
         # entity transforms (body pose for bodies, TRS otherwise).
         ent_t = jnp.where(m["has_body"][:, None], body_pos, trs_t)
         ent_r = jnp.where(m["has_body"][:, None], body_rot, trs_r)
         transforms = _trs_matrices(ent_t, ent_r, state.trs_s)
-        soup = transform_soup(self.collision, transforms)
+        soup = transform_soup(self.collision, transforms, entity_alive=alive)
 
         # platform carry set: world AABBs + deltas
         plat_delta = body_pos - body_prev_pos
@@ -164,14 +212,16 @@ class Stepper:
                                   m["has_body"] & (self.body_type == BODY_DYNAMIC),
                                   dt, spec.gravity)
 
-        # --- fixed: KinematicMoveStop (characters)
+        # --- fixed: KinematicMoveStop (characters); despawned agents inert
+        cp = spec.controller_params._replace(
+            active=spec.controller_params.active & alive)
         new_pos, new_vel, new_ctrl = self.pipeline.step(
-            soup, body_pos, body_vel, ctrl, spec.controller_params, platforms, dt)
+            soup, body_pos, body_vel, ctrl, cp, platforms, dt)
         body_pos, body_vel, ctrl = new_pos, new_vel, new_ctrl
 
         # --- fixed: AgentSeparation
         body_pos, body_vel, ctrl = separate_agents(
-            soup, body_pos, body_vel, ctrl, spec.controller_params)
+            soup, body_pos, body_vel, ctrl, cp)
 
         # --- fixed: PhysicsIntegrate (plain bodies only)
         integ = m["has_body"] & ~m["has_controller"] & ~m["has_platform"]
@@ -245,7 +295,11 @@ class Stepper:
                                   state.wp_prev_chunk)
         wp_prev_local = jnp.where(m["has_wp"][:, None], state.wp_local,
                                   state.wp_prev_local)
+        # body positions are active-origin relative; re-anchor to the origin
+        # chunk before canonicalizing (Systems.swift:2270-2307 adds the
+        # active origin back the same way).
         chunk_b, local_b = world_to_chunk_local(body_pos)
+        chunk_b = chunk_b + center
         chunk_c, local_c = canonicalize(state.wp_chunk, state.wp_local)
         use_body = m["has_wp"] & m["has_body"]
         wp_chunk = jnp.where(use_body[:, None], chunk_b,
@@ -307,4 +361,9 @@ class Stepper:
         # the target); match that:
         scale = state.trs_s[src]
         pos = pos - camera_world
+        # Despawned entities: degenerate (zero-scale) instances parked far
+        # from the camera never rasterize/intersect.
+        alive = state.alive[src] & state.alive
+        pos = jnp.where(alive[:, None], pos, 1.0e7)
+        scale = jnp.where(alive[:, None], scale, 0.0)
         return _trs_matrices(pos, rot, scale), state.palettes

@@ -133,3 +133,18 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
     b = jax.tree.flatten(restored)[0]
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_collision_stats_threaded(tiny):
+    """Per-substep CollisionQueryStats analog: counters reset per refresh
+    (reference: CollisionQuery.swift:280-318, Systems.swift:176)."""
+    spec, state, stepper, player, plat = tiny
+    s1 = stepper.substep(state, DT)
+    casts = int(s1.ctrl.query_casts[player])
+    cands = int(s1.ctrl.query_candidates[player])
+    # at least: 6 ground probes + 1 slide cast + 1 depen overlap
+    assert casts >= 8, casts
+    assert cands > 0
+    # reset per substep, not accumulated across substeps
+    s2 = stepper.substep(s1, DT)
+    assert int(s2.ctrl.query_casts[player]) < 2 * casts + 8
