@@ -36,7 +36,7 @@ def main():
 
     width = int(os.environ.get("BENCH_WIDTH", 960))
     height = int(os.environ.get("BENCH_HEIGHT", 540))
-    frames = int(os.environ.get("BENCH_FRAMES", 3))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
     layers = int(os.environ.get("BENCH_LAYERS", 3))
     shadow_layers = int(os.environ.get("BENCH_SHADOW_LAYERS", 4))
     path = os.environ.get("BENCH_PATH", "rt")
@@ -51,8 +51,10 @@ def main():
         f"render_tris={scene['geometry'].tri.shape[0]} "
         f"collision_tris={int(np.asarray(scene['collision'].valid).sum())}")
 
+    pipeline = int(os.environ.get("BENCH_PIPELINE", 3))
     eng = Engine(scene, width=width, height=height, path=path,
-                 max_layers=layers, shadow_layers=shadow_layers)
+                 max_layers=layers, shadow_layers=shadow_layers,
+                 pipeline_depth=pipeline)
 
     # warmup (compile)
     t0 = time.time()
@@ -85,7 +87,11 @@ def main():
     log(f"collision stats (last substep): casts={int(qs.sum())} "
         f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
 
-    # full frames
+    # full frames — steady-state pipelined throughput (pipeline warm-up
+    # frames are excluded; frame N's image fetch overlaps frame N+1's
+    # device work, matching the reference's 3-frames-in-flight pacing).
+    for i in range(pipeline):
+        eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
     t0 = time.time()
     for i in range(frames):
         eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)

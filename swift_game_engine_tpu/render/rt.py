@@ -91,6 +91,60 @@ _SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
 _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 
 
+# Chunked compaction: work that touches a small, scattered subset of lanes
+# (texture taps, normal mapping, transparency layers 2+, mirror/refraction
+# bounces) is gathered (jnp.nonzero keeps tile order, so chunks stay
+# spatially coherent) into fixed-size chunks processed until the set is
+# drained — EXACT for any live count, while the common case (a few percent
+# of lanes) costs one small chunk instead of a dense full-batch pass.
+# Two chunk sizes: layer continuations can cover a large screen fraction
+# (translucent hulls), so their cap is large to avoid loop iterations;
+# bounce/tap sets are typically small, so their cap is small — fill lanes
+# in an oversized chunk still pay dense elementwise shade cost.
+_CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
+_CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "32768"))
+
+
+def _chunked(mask, body, carry, cap=None):
+    """Run ``body(idx, valid, carry) -> carry`` over <=cap-lane chunks of
+    the set lanes of ``mask`` until drained. ``idx`` is (cap,) int32 into
+    the flat lane space with out-of-range fill (scatters at fill indices
+    drop; gathers must clamp). Skips entirely when ``mask`` is empty."""
+    p = mask.shape[0]
+    cap = min(p, _CHUNK if cap is None else cap)
+
+    def cond(c):
+        m, _ = c
+        return jnp.any(m)
+
+    def step(c):
+        m, carry = c
+        idx = jnp.nonzero(m, size=cap, fill_value=p)[0]
+        valid = idx < p
+        carry = body(idx, valid, carry)
+        m = m.at[idx].set(False)
+        return m, carry
+
+    _, carry = jax.lax.while_loop(cond, step, (mask, carry))
+    return carry
+
+
+def _sparse_tap(textures, tex_ids, uv, default):
+    """Bilinear texture taps only for lanes that bind a texture
+    (tex_id >= 0), chunk-compacted; other lanes get ``default``. Each
+    bilinear sample is 4 HBM gathers per lane, so dense taps dominate shade
+    cost when only a few lanes are textured."""
+    p = tex_ids.shape[0]
+    out = jnp.broadcast_to(default, (p, 4))
+
+    def body(idx, valid, out):
+        safe = jnp.minimum(idx, p - 1)
+        s = sample_bilinear(textures, tex_ids[safe], uv[safe], default)
+        return out.at[idx].set(s)
+
+    return _chunked(tex_ids >= 0, body, out, cap=_CHUNK_SMALL)
+
+
 @partial(jax.jit, static_argnames=())
 def _trace_batch(bvh, o, d, active):
     """Nearest-hit traversal over a ray batch; inactive lanes exit instantly."""
@@ -146,28 +200,22 @@ def _sample_material(geo: SceneGeometry, tri, uv, usage):
 
     white = jnp.ones(4)
 
-    def tap(tex_ids, default):
-        """Texture sample, skipped at runtime when NO hit lane binds one —
-        texture taps measured ~46 ms/shade on the demo while most frames
-        shade only factor-materials (lax.cond runs one branch)."""
-        return jax.lax.cond(
-            jnp.any(tex_ids >= 0),
-            lambda: sample_bilinear(geo.textures, tex_ids, uv, default),
-            lambda: jnp.broadcast_to(default, uv.shape[:-1] + (4,)))
-
+    # Sparse taps: only the lanes whose material binds the slot sample it
+    # (chunk-compacted); dense taps measured ~46 ms/shade while typically a
+    # few percent of lanes are textured.
     if usage.base:
-        base_t = tap(base_tex, white)
+        base_t = _sparse_tap(geo.textures, base_tex, uv, white)
         base = base * base_t[..., :3]
         alpha = alpha * base_t[..., 3]
     if usage.mr:
-        mr_t = tap(mr_tex, white)
+        mr_t = _sparse_tap(geo.textures, mr_tex, uv, white)
         roughness = roughness * mr_t[..., 1]
         metallic = metallic * mr_t[..., 2]
     if usage.emissive:
-        em_t = tap(mats.emissive_tex[mid], white)
+        em_t = _sparse_tap(geo.textures, mats.emissive_tex[mid], uv, white)
         emissive = emissive * em_t[..., :3]
     if usage.occlusion:
-        oc_t = tap(mats.occlusion_tex[mid], white)
+        oc_t = _sparse_tap(geo.textures, mats.occlusion_tex[mid], uv, white)
         occlusion = occlusion * oc_t[..., 0]
 
     return dict(base=base, alpha=alpha, metallic=metallic, roughness=roughness,
@@ -188,7 +236,7 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
         return alpha
     tri_v = geo.tri[jnp.maximum(tri, 0)]
     uv = _interp(geo.uv, tri_v, u, v)
-    base_t = sample_bilinear(geo.textures, mats.base_tex[mid], uv, jnp.ones(4))
+    base_t = _sparse_tap(geo.textures, mats.base_tex[mid], uv, jnp.ones(4))
     return alpha * base_t[..., 3]
 
 
@@ -269,27 +317,33 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     uv = _interp(geo.uv, tri_v, u, v)
     m = _sample_material(geo, tri, uv, usage)
 
-    # Tangent-space normal mapping (RayTracing.metalinc:283-316); skipped
-    # statically when no scene material binds a normal map, and at runtime
-    # when no hit lane does (lax.cond).
+    # Tangent-space normal mapping (RayTracing.metalinc:283-316),
+    # chunk-compacted to the lanes whose material binds a normal map — the
+    # vertex-normal/tangent interpolation gathers and the 4-tap texture
+    # sample only run for those lanes.
     if usage.normal:
-        def do_normal_map():
-            n_vert = normalize(_interp(fg.nrm, tri_v, u, v))
-            tan4 = _interp(fg.tan, tri_v, u, v)
-            tan = normalize(tan4[..., :3])
-            n_tex = sample_bilinear(geo.textures, m["normal_tex"], uv,
-                                    jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
-            n_mapped = apply_normal_map(n_geom, n_vert, tan,
-                                        jnp.sign(tan4[..., 3]),
-                                        n_tex, m["normal_scale"], view)
-            n_mapped = jnp.where(
-                jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
-                -n_mapped, n_mapped)
-            return jnp.where((m["normal_tex"] >= 0)[..., None], n_mapped,
-                             n_geom)
+        pshape = n_geom.shape[0]
 
-        n = jax.lax.cond(jnp.any(m["normal_tex"] >= 0), do_normal_map,
-                         lambda: n_geom)
+        def nm_body(idx, valid, n_out):
+            safe = jnp.minimum(idx, pshape - 1)
+            tv = tri_v[safe]
+            uc, vc = u[safe], v[safe]
+            n_vert = normalize(_interp(fg.nrm, tv, uc, vc))
+            tan4 = _interp(fg.tan, tv, uc, vc)
+            tan = normalize(tan4[..., :3])
+            n_tex = sample_bilinear(geo.textures, m["normal_tex"][safe],
+                                    uv[safe],
+                                    jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
+            n_mapped = apply_normal_map(n_geom[safe], n_vert, tan,
+                                        jnp.sign(tan4[..., 3]),
+                                        n_tex, m["normal_scale"][safe],
+                                        view[safe])
+            n_mapped = jnp.where(
+                jnp.sum(n_mapped * ray_d[safe], axis=-1, keepdims=True) > 0,
+                -n_mapped, n_mapped)
+            return n_out.at[idx].set(n_mapped)
+
+        n = _chunked(m["normal_tex"] >= 0, nm_body, n_geom, cap=_CHUNK_SMALL)
     else:
         n = n_geom
 
@@ -351,40 +405,6 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     return out.reshape(height, width, 3)
 
 
-# Chunked compaction: secondary work (transparency layers 2+, mirror and
-# refraction bounces) touches a small, scattered subset of lanes, but a
-# dense pass pays full-resolution trace + shade regardless. Instead the set
-# lanes are gathered (jnp.nonzero keeps them in tile order, so chunks stay
-# spatially coherent) into fixed-size chunks processed until the set is
-# drained — EXACT for any live count, while the common case (a few percent
-# of lanes) costs one small chunk instead of a full-frame pass.
-_CHUNK = int(os.environ.get("SGE_RT_CHUNK", "32768"))
-
-
-def _chunked(mask, body, carry):
-    """Run ``body(idx, valid, carry) -> carry`` over <=_CHUNK-lane chunks of
-    the set lanes of ``mask`` until drained. ``idx`` is (cap,) int32 into
-    the flat lane space with out-of-range fill (scatters at fill indices
-    drop; gathers must clamp). Skips entirely when ``mask`` is empty."""
-    p = mask.shape[0]
-    cap = min(p, _CHUNK)
-
-    def cond(c):
-        m, _ = c
-        return jnp.any(m)
-
-    def step(c):
-        m, carry = c
-        idx = jnp.nonzero(m, size=cap, fill_value=p)[0]
-        valid = idx < p
-        carry = body(idx, valid, carry)
-        m = m.at[idx].set(False)
-        return m, carry
-
-    _, carry = jax.lax.while_loop(cond, step, (mask, carry))
-    return carry
-
-
 def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
                  base, mask, color, shadow_layers, usage):
     """One deterministic mirror bounce for the set lanes of ``mask``
@@ -412,7 +432,7 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         new_c = color[safe] * (1.0 - f) + refl * f
         return color.at[idx].set(new_c)
 
-    return _chunked(mask, body, color)
+    return _chunked(mask, body, color, cap=_CHUNK_SMALL)
 
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
@@ -453,7 +473,7 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         new_c = old_c + (mix_color - old_c) * transmission[safe][..., None]
         return color.at[idx].set(new_c)
 
-    return _chunked(has_t, body, color)
+    return _chunked(has_t, body, color, cap=_CHUNK_SMALL)
 
 
 def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,

@@ -49,7 +49,17 @@ def load_world_state(path: str, like_state):
 
 class Engine:
     def __init__(self, scene: dict, width=640, height=360, path="rt",
-                 rt_resolution_scale=1.0, max_layers=3, shadow_layers=4):
+                 rt_resolution_scale=1.0, max_layers=3, shadow_layers=4,
+                 pipeline_depth: int = 1):
+        # pipeline_depth > 1 keeps that many frame dispatches in flight and
+        # returns the oldest completed frame (the reference's
+        # maxBuffersInFlight=3 frame pacing, RendererConstants.swift:13):
+        # the image fetch of frame N-1 then overlaps the device computing
+        # frame N, and the chase camera reads a (depth-1)-frame-old player
+        # snapshot exactly as the reference CPU writes uniforms while older
+        # frames are still on the GPU.
+        self.pipeline_depth = max(int(pipeline_depth), 1)
+        self._pending = []
         self.spec = scene["spec"]
         self.state = scene["state"]
         self.stepper = scene["stepper"]
@@ -321,9 +331,16 @@ class Engine:
             np.asarray(self.camera.position, np.float32),
             np.asarray(cam_world, np.float32),
             np.float32(self.tone_mapping_exposure))
-        u8 = np.asarray(u8_dev)
-        self._snap = np.asarray(snap_dev)
-        self._dodge_active = bool(self._snap[6] > 0.5)
+        self._pending.append((u8_dev, snap_dev))
+        if len(self._pending) < self.pipeline_depth:
+            # warm-up: nothing completed yet — present a black frame rather
+            # than stalling the pipeline.
+            u8 = np.zeros((self.height, self.width, 3), np.uint8)
+        else:
+            u8_done, snap_done = self._pending.pop(0)
+            u8 = np.asarray(u8_done)
+            self._snap = np.asarray(snap_done)
+            self._dodge_active = bool(self._snap[6] > 0.5)
         if with_overlay:
             fps = self.overlay.update(dt)
             u8 = self.overlay.blit(u8, fps)
