@@ -69,6 +69,10 @@ _USE_SMEM = os.environ.get("SGE_RT_SMEM", "1") == "1"
 # _kernel_smem_ordered. SGE_RT_ORDERED=0 falls back to the skip-link walk.
 _USE_ORDERED = os.environ.get("SGE_RT_ORDERED", "1") == "1"
 _SMEM_MAX_NODES = 22_000
+# All-VMEM fallback cap (rows are 512 B/node); beyond this the HBM
+# streaming kernel takes over. SGE_RT_STREAM=1 forces streaming (testing).
+_VMEM_MAX_NODES = 26_000
+_USE_STREAM = os.environ.get("SGE_RT_STREAM", "0") == "1"
 BIG = jnp.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
@@ -363,6 +367,124 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
     tri_out[0] = tri_best.astype(jnp.int32)
 
 
+# HBM-streaming traversal for trees that exceed VMEM. Key property: the
+# preorder skip-link walk is STRICTLY MONOTONIC in node index (next node is
+# either node+1 or skip[node], both greater), so the kernel streams the row
+# array through a VMEM window chunk by chunk — rows stay in HBM, a chunk is
+# DMA'd in on first touch, and skipped subtrees skip whole chunks' DMAs.
+# The DMA (~2 MB at full HBM bandwidth, issued once per visited chunk) is
+# negligible against the vector work spent inside a visited chunk.
+_STREAM_CHUNK = int(os.environ.get("SGE_RT_STREAM_CHUNK", "4096"))  # rows
+
+
+def _kernel_stream(rows_hbm, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, tmax_ref, t_out, tri_out,
+                   buf_ref, sem):
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t0 = tmax_ref[0]
+    tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
+    C = _STREAM_CHUNK
+
+    def load_chunk(cid):
+        copy = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(cid * C, C), :], buf_ref, sem)
+        copy.start()
+        copy.wait()
+
+    load_chunk(jnp.int32(0))
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, cur_chunk, t_best, tri_best = c
+        chunk_id = node // C
+
+        @pl.when(chunk_id != cur_chunk)
+        def _():
+            load_chunk(chunk_id)
+
+        cur_chunk = chunk_id
+        local = node - chunk_id * C
+        row = buf_ref[pl.ds(local, 1), :]
+
+        def s(k):
+            return row[0, k]
+
+        tx0 = (s(0) - ox) * inv_x
+        tx1 = (s(3) - ox) * inv_x
+        ty0 = (s(1) - oy) * inv_y
+        ty1 = (s(4) - oy) * inv_y
+        tz0 = (s(2) - oz) * inv_z
+        tz1 = (s(5) - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+        any_hit = jnp.any(box_hit)
+
+        is_leaf = s(7) > 0.5
+
+        def do_leaf(args):
+            tb, trib = args
+            ids_base = 8 + 9 * SLOT_N
+            for j in range(SLOT_N):
+                base = 8 + 9 * j
+                tri_id = row[0, ids_base + j]
+                valid = tri_id >= 0
+                ax, ay, az = s(base), s(base + 1), s(base + 2)
+                e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)
+                e2x, e2y, e2z = s(base + 6), s(base + 7), s(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= EPS
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+                    (t > 1e-4) & (t < tb) & valid & box_hit
+                tb = jnp.where(hit, t, tb)
+                trib = jnp.where(hit, tri_id, trib)
+            return tb, trib
+
+        t_best, tri_best = jax.lax.cond(
+            is_leaf & any_hit, do_leaf, lambda args: args, (t_best, tri_best))
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1, s(6).astype(jnp.int32))
+        return node, cur_chunk, t_best, tri_best
+
+    _, _, t_best, tri_best = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), t0, tri0))
+    t_out[0] = t_best
+    tri_out[0] = tri_best.astype(jnp.int32)
+
+
 def _kernel_shadow_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
                         dx_ref, dy_ref, dz_ref, tmax_ref, blocked_out):
     """Any-hit occlusion over OPAQUE triangles only (integral slot ids).
@@ -622,7 +744,7 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
     ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    if _USE_SMEM and kbvh.rows.shape[0] <= _SMEM_MAX_NODES:
+    if _USE_SMEM and not _USE_STREAM and kbvh.rows.shape[0] <= _SMEM_MAX_NODES:
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         header = kbvh.rows[:, :8].reshape(-1)
         if _USE_ORDERED:
@@ -646,6 +768,28 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
                        jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
             interpret=interpret,
         )(header, kbvh.rows, *rays)
+        return t.reshape(-1)[:n], tri.reshape(-1)[:n]
+
+    if _USE_STREAM or kbvh.rows.shape[0] > _VMEM_MAX_NODES:
+        # HBM-streaming kernel: rows stay in HBM (ANY), a VMEM window is
+        # DMA'd per visited chunk. Pad rows to a chunk multiple so every
+        # chunk DMA slice is in bounds.
+        C = _STREAM_CHUNK
+        m = kbvh.rows.shape[0]
+        pad_rows = (-m) % C
+        rows = kbvh.rows if pad_rows == 0 else \
+            jnp.pad(kbvh.rows, ((0, pad_rows), (0, 0)))
+        t, tri = pl.pallas_call(
+            _kernel_stream,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
+            out_specs=(ray_spec, ray_spec),
+            out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((C, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(rows, *rays)
         return t.reshape(-1)[:n], tri.reshape(-1)[:n]
 
     t, tri = pl.pallas_call(

@@ -272,6 +272,11 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
             shadow0 = jnp.where(blocked, 0.0, shadow0)
             act0 = active & jnp.logical_not(blocked)
 
+    # NOTE (measured): compacting shadow continuation lanes is a LOSS here —
+    # translucent-blocked lanes are scattered, so the dense continuation
+    # iterations already cost little (packets with no live lanes exit the
+    # traversal immediately) and the gather/scatter machinery exceeded the
+    # savings (277 -> 304 ms full frame). Dense lockstep loop kept.
     def cond(carry):
         _, shadow, act, layer = carry
         return jnp.any(act & (shadow > 0.02)) & (layer < shadow_layers)

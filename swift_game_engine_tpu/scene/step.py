@@ -356,9 +356,8 @@ class Stepper:
         src = jnp.where(has_follow, follow, jnp.arange(self.spec.n_entities))
         pos = pos[src]
         rot = rot[src]
-        scale = state.trs_s  # follower keeps its own scale? reference uses
-        # target transform's scale (interpolatedModelMatrix uses t.scale of
-        # the target); match that:
+        # reference: a follower renders with the TARGET transform's scale
+        # (interpolatedModelMatrix uses t.scale of the substituted target).
         scale = state.trs_s[src]
         pos = pos - camera_world
         # Despawned entities: degenerate (zero-scale) instances parked far
