@@ -68,6 +68,12 @@ _USE_SMEM = os.environ.get("SGE_RT_SMEM", "1") == "1"
 # Near-first ordered traversal (two-child descent + SMEM stack); see
 # _kernel_smem_ordered. SGE_RT_ORDERED=0 falls back to the skip-link walk.
 _USE_ORDERED = os.environ.get("SGE_RT_ORDERED", "1") == "1"
+# Ordering-key variant: 1 = packet-min box entry distance (two f32
+# min-reductions per interior step), 0 = scalar header-only key (projected
+# box-center distance along the packet mean direction — no reductions;
+# ordering is heuristic, correctness unchanged since per-lane t_best
+# pruning stays exact).
+_EXACT_KEY = os.environ.get("SGE_RT_EXACT_KEY", "1") == "1"
 _SMEM_MAX_NODES = 22_000
 # All-VMEM fallback cap (rows are 512 B/node); beyond this the HBM
 # streaming kernel takes over. SGE_RT_STREAM=1 forces streaming (testing).
@@ -258,6 +264,14 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
     t0 = tmax_ref[0]
     tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
 
+    if not _EXACT_KEY:
+        mdx = jnp.mean(dx)
+        mdy = jnp.mean(dy)
+        mdz = jnp.mean(dz)
+        mox = jnp.mean(ox)
+        moy = jnp.mean(oy)
+        moz = jnp.mean(oz)
+
     def slab(node, t_best):
         tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
         tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
@@ -327,13 +341,32 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 
         big = jnp.float32(3.0e38)
 
-        def child_keys(_):
-            r = header_ref[left * 8 + 6].astype(jnp.int32)
-            bh_l, tmin_l = slab(left, t_best)
-            bh_r, tmin_r = slab(r, t_best)
-            key_l = jnp.min(jnp.where(bh_l, tmin_l, big))
-            key_r = jnp.min(jnp.where(bh_r, tmin_r, big))
-            return r, key_l, key_r
+        if _EXACT_KEY:
+            def child_keys(_):
+                r = header_ref[left * 8 + 6].astype(jnp.int32)
+                bh_l, tmin_l = slab(left, t_best)
+                bh_r, tmin_r = slab(r, t_best)
+                key_l = jnp.min(jnp.where(bh_l, tmin_l, big))
+                key_r = jnp.min(jnp.where(bh_r, tmin_r, big))
+                return r, key_l, key_r
+        else:
+            # Heuristic key from SMEM header only: projected box-center
+            # distance along the packet mean direction (means precomputed
+            # once per packet before the loop). Hit decision stays per-lane
+            # exact (any-reduce of the slab mask).
+            def center_key(c):
+                cx = (header_ref[c * 8 + 0] + header_ref[c * 8 + 3]) * 0.5
+                cy = (header_ref[c * 8 + 1] + header_ref[c * 8 + 4]) * 0.5
+                cz = (header_ref[c * 8 + 2] + header_ref[c * 8 + 5]) * 0.5
+                return (cx - mox) * mdx + (cy - moy) * mdy + (cz - moz) * mdz
+
+            def child_keys(_):
+                r = header_ref[left * 8 + 6].astype(jnp.int32)
+                bh_l, _ = slab(left, t_best)
+                bh_r, _ = slab(r, t_best)
+                key_l = jnp.where(jnp.any(bh_l), center_key(left), big)
+                key_r = jnp.where(jnp.any(bh_r), center_key(r), big)
+                return r, key_l, key_r
 
         right, key_l, key_r = jax.lax.cond(
             is_leaf, lambda _: (jnp.int32(0), big, big), child_keys, 0)

@@ -69,10 +69,14 @@ class DemoScene:
     generated_dir: str = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       "..", "..", "assets")
     include_imported_assets: bool = True
-    # Render-mesh triangle budget per imported part: the RT kernel keeps the
-    # whole BVH VMEM-resident (ops/rt_kernel.py), so dense scanned assets are
-    # decimated at import (collision uses the exact hulls regardless).
-    import_tri_budget: int = 20000
+    # Render-mesh triangle budget per imported part. Default keeps the BVH
+    # within the fast SMEM-header kernel's cap; the HBM-streaming kernel
+    # (ops/rt_kernel.py _kernel_stream) handles arbitrarily large trees, so
+    # raising the budget (SGE_IMPORT_TRI_BUDGET=0 disables decimation) is a
+    # fidelity/throughput knob, not a hard limit. Collision always uses the
+    # exact hulls regardless.
+    import_tri_budget: int = int(os.environ.get("SGE_IMPORT_TRI_BUDGET",
+                                                "20000")) or (1 << 30)
 
     def build(self):
         wb = WorldBuilder()
