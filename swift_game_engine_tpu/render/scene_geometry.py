@@ -88,10 +88,14 @@ def texture_usage(geo: "SceneGeometry") -> TextureUsage:
     import os
     if os.environ.get("SGE_NO_TEX") == "1":   # profiling: no texture taps
         return TextureUsage(False, False, False, False, False, False)
+    # Key on identity, but keep a strong reference to the keyed object in
+    # the cache entry and verify it: a bare id() key is unsafe because ids
+    # are reused after garbage collection (a fresh materials object at a
+    # recycled address would silently inherit another scene's usage mask).
     key = id(geo.materials)
     hit = _USAGE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is geo.materials:
+        return hit[1]
     mats = geo.materials
 
     def used(ids):
@@ -106,7 +110,7 @@ def texture_usage(geo: "SceneGeometry") -> TextureUsage:
                          emissive=used(mats.emissive_tex),
                          occlusion=used(mats.occlusion_tex),
                          normal=used(mats.normal_tex), alpha_tex=alpha_tex)
-    _USAGE_CACHE[key] = usage
+    _USAGE_CACHE[key] = (mats, usage)
     return usage
 
 
