@@ -102,7 +102,7 @@ _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 # bounce/tap sets are typically small, so their cap is small — fill lanes
 # in an oversized chunk still pay dense elementwise shade cost.
 _CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
-_CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "32768"))
+_CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
 
 
 def _chunked(mask, body, carry, cap=None):
