@@ -356,8 +356,14 @@ class WorldBuilder:
 
 def despawn_entity(state: WorldState, e) -> WorldState:
     """destroyEntity analog: the slot stops simulating, colliding and
-    rendering; its dynamic state is neutralized for clean reuse."""
+    rendering; its dynamic state is neutralized for clean reuse (velocities,
+    intents AND animation clocks — a recycled slot must not resume the
+    previous occupant's mid-flight action/dodge/locomotion blend)."""
     z3 = jnp.zeros(3)
+    zf = jnp.float32(0.0)
+    act = state.action
+    dod = state.dodge
+    loco = state.loco
     return state._replace(
         alive=state.alive.at[e].set(False),
         body_vel=state.body_vel.at[e].set(z3),
@@ -365,6 +371,21 @@ def despawn_entity(state: WorldState, e) -> WorldState:
         intent_vel=state.intent_vel.at[e].set(z3),
         intent_jump=state.intent_jump.at[e].set(False),
         intent_dodge=state.intent_dodge.at[e].set(False),
+        action=act._replace(
+            active=act.active.at[e].set(False),
+            time=act.time.at[e].set(zf),
+            weight=act.weight.at[e].set(zf),
+            exiting=act.exiting.at[e].set(False)),
+        dodge=dod._replace(
+            active=dod.active.at[e].set(False),
+            time=dod.time.at[e].set(zf)),
+        loco=loco._replace(
+            state=loco.state.at[e].set(0),
+            from_state=loco.from_state.at[e].set(0),
+            times=loco.times.at[e].set(jnp.zeros(4)),
+            blend_t=loco.blend_t.at[e].set(1.0),
+            idle_inertia=loco.idle_inertia.at[e].set(zf),
+            is_blending=loco.is_blending.at[e].set(False)),
     )
 
 
@@ -372,7 +393,7 @@ def spawn_entity(state: WorldState, e, position=None, rotation=None) -> WorldSta
     """createEntity analog into a dormant/despawned slot ``e``: resets the
     slot's dynamic state and enables it. Component layout (which systems act
     on the slot) is the build-time reservation."""
-    st = despawn_entity(state, e)  # neutralize clocks/velocities first
+    st = despawn_entity(state, e)  # neutralizes velocities, intents + clocks
     pos = state.body_pos[e] if position is None else jnp.asarray(position, jnp.float32)
     rot = state.body_rot[e] if rotation is None else jnp.asarray(rotation, jnp.float32)
     chunk, local = world_to_chunk_local(pos)

@@ -17,6 +17,7 @@ Everything here is pure jnp, safe under ``jit``/``vmap``, float32 by default.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -220,7 +221,7 @@ def mat4_inverse_rigid(m):
 # ---------------------------------------------------------------------------
 # Quaternions — layout (x, y, z, w) like simd_quatf
 
-QUAT_IDENTITY = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+QUAT_IDENTITY = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
 
 
 def quat_identity(batch_shape=()):

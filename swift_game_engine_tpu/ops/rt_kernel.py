@@ -56,6 +56,10 @@ _SUB = 8 * (BLOCK // 1024)   # sublane rows per ray operand
 # Timing-only knob: skip leaf triangle tests (WRONG results — used to
 # attribute kernel time between traversal control and leaf intersection).
 _PROFILE_NOLEAF = os.environ.get("SGE_RT_PROFILE_NOLEAF") == "1"
+# Timing-only knob: kernels output per-packet (interior, leaf) visit counts
+# instead of (t, tri) — used to attribute walk cost between traversal
+# control and leaf intersection across kernel/block/leaf configs.
+_PROFILE_COUNTS = os.environ.get("SGE_RT_COUNTS") == "1"
 # Keep a (M,8) copy of [bmin,bmax,skip,leaf] in SMEM: interior steps then
 # read 8 scalars from scalar memory instead of a dynamic VMEM row load +
 # vector lane extracts; the full 128-lane row is only loaded in the leaf
@@ -79,7 +83,7 @@ _SMEM_MAX_NODES = 22_000
 # streaming kernel takes over. SGE_RT_STREAM=1 forces streaming (testing).
 _VMEM_MAX_NODES = 26_000
 _USE_STREAM = os.environ.get("SGE_RT_STREAM", "0") == "1"
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
 # Triangles inlined per leaf row; 12 fills the row exactly (8 + 9*12 + 12 =
@@ -239,6 +243,10 @@ def _kernel_smem(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 # regardless of ray direction, testing far leaves before near ones.
 # In preorder, interior node n has left child n+1 and right child
 # skip[n+1], so the ordered kernel reuses the exact same header.
+# Pushes clamp at _STACK_MAX-1 (SMEM cannot be allowed to corrupt): a
+# degenerate tree deeper than the stack drops far subtrees instead of
+# writing out of bounds. SAH/Morton builds stay far below this bound; the
+# packers assert the actual depth at build time (see pack_bvh).
 _STACK_MAX = 128
 
 
@@ -293,8 +301,10 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
         return node >= 0
 
     def body(c):
-        node, sp, t_best, tri_best = c
+        node, sp, t_best, tri_best, n_int, n_leaf = c
         is_leaf = header_ref[node * 8 + 7] > 0.5
+        n_int = n_int + (~is_leaf).astype(jnp.int32)
+        n_leaf = n_leaf + is_leaf.astype(jnp.int32)
 
         def do_leaf(args):
             tb, trib = args
@@ -379,9 +389,9 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 
         @pl.when(both)
         def _():
-            stack_ref[sp] = far
+            stack_ref[jnp.minimum(sp, _STACK_MAX - 1)] = far
 
-        sp = sp + both.astype(jnp.int32)
+        sp = jnp.minimum(sp + both.astype(jnp.int32), _STACK_MAX - 1)
         descend = (~is_leaf) & (hit_l | hit_r)
         # Pop when this was a leaf or neither child was hit.
         do_pop = jnp.logical_not(descend)
@@ -390,12 +400,236 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
         node = jnp.where(descend,
                          jnp.where(both, near, jnp.where(hit_l, left, right)),
                          jnp.where(sp_pop >= 0, popped, -1))
-        return node, jnp.maximum(sp_pop, 0), t_best, tri_best
+        return node, jnp.maximum(sp_pop, 0), t_best, tri_best, n_int, n_leaf
 
     node0 = jnp.int32(0)
     sp0 = jnp.int32(0)
-    _, _, t_best, tri_best = jax.lax.while_loop(
-        cond, body, (node0, sp0, t0, tri0))
+    _, _, t_best, tri_best, n_int, n_leaf = jax.lax.while_loop(
+        cond, body, (node0, sp0, t0, tri0, jnp.int32(0), jnp.int32(0)))
+    if _PROFILE_COUNTS:
+        t_out[0] = jnp.full(t0.shape, n_int.astype(jnp.float32))
+        tri_out[0] = jnp.full(t0.shape, n_leaf)
+        return
+    t_out[0] = t_best
+    tri_out[0] = tri_best.astype(jnp.int32)
+
+
+# Interval walk: the round-3 traversal. The ordered kernel's interior step
+# still serializes on vector work — two 4096-lane slab tests plus two
+# cross-lane min-reductions whose scalar results gate the next node (a
+# vector->scalar sync per step is exactly the latency a lockstep walk can't
+# hide; measured: block-size scaling was overhead-flat, not ALU-bound).
+# This kernel removes ALL vector work from interior steps:
+#
+#   * Per packet, precompute scalar interval bounds over the live lanes:
+#     origin min/max and 1/direction min/max per axis (6+6 reductions, once).
+#   * An interior child test is then conservative interval-arithmetic slab
+#     math in SCALAR registers (~85 flops, 8 SMEM loads, no reductions, no
+#     vector<->scalar transfers). False positives possible (loose packet),
+#     false negatives impossible — leaves still run the exact per-lane test.
+#   * Occlusion pruning via one scalar t_pk = max over lanes of t_best,
+#     refreshed ONCE per leaf visit (the only vector->scalar sync left).
+#   * The far-child stack stores (node, entry-key); pops skip entries whose
+#     key >= t_pk, dropping whole subtrees that became occluded after push.
+#
+# Leaves skip the vector slab test entirely: the Moller-Trumbore gate
+# (t > eps, t < t_best, barycentric) is exact on its own.
+#
+# MEASURED (960x540 demo primary pass, block 4096, scan-fused): 88.7 ms vs
+# the ordered kernel's 56.5 ms — the conservative packet interval visits
+# more leaves than its cheaper interior steps save (leaf intersection
+# dominates: 388 leaf vs 589 interior visits/packet, each leaf 12 tris x
+# ~60 vec ops). Kept OFF by default as an experimental path; it may win on
+# narrower packets or leaf-poor trees.
+_USE_INTERVAL = os.environ.get("SGE_RT_INTERVAL", "0") == "1"
+
+
+def _leaf_tests(row_fn, ox, oy, oz, dx, dy, dz, tb, trib, box_hit=None):
+    """SLOT_N unrolled Moller-Trumbore tests against one leaf row.
+
+    ``row_fn(k)`` yields lane k of the (1,128) leaf row as a scalar.
+    ``box_hit`` optionally gates hits (per-lane vector mask)."""
+    s = row_fn
+    ids_base = 8 + 9 * SLOT_N
+    for j in range(SLOT_N):
+        base = 8 + 9 * j
+        tri_id = s(ids_base + j)
+        valid = tri_id >= 0
+        ax, ay, az = s(base), s(base + 1), s(base + 2)
+        e1x, e1y, e1z = s(base + 3), s(base + 4), s(base + 5)
+        e2x, e2y, e2z = s(base + 6), s(base + 7), s(base + 8)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= EPS
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+        u = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+            (t > 1e-4) & (t < tb) & valid
+        if box_hit is not None:
+            hit = hit & box_hit
+        tb = jnp.where(hit, t, tb)
+        trib = jnp.where(hit, tri_id, trib)
+    return tb, trib
+
+
+def _kernel_smem_interval(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+                          dx_ref, dy_ref, dz_ref, tmax_ref, t_out, tri_out,
+                          stack_node_ref, stack_key_ref):
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+    big = jnp.float32(3.0e38)
+
+    t0 = tmax_ref[0]
+    dead = t0 <= 0.0
+    tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    # Packet interval bounds over LIVE lanes only (a dead/padded lane is
+    # parked at origin 1e9 and must not widen the frustum to uselessness).
+    def lo(v):
+        return jnp.min(jnp.where(dead, big, v))
+
+    def hi(v):
+        return jnp.max(jnp.where(dead, -big, v))
+
+    o_lo = (lo(ox), lo(oy), lo(oz))
+    o_hi = (hi(ox), hi(oy), hi(oz))
+    i_lo = (lo(inv_x), lo(inv_y), lo(inv_z))
+    i_hi = (hi(inv_x), hi(inv_y), hi(inv_z))
+    t_pk0 = jnp.max(t0)
+
+    def ivt(c, t_pk):
+        """Conservative scalar slab test of node ``c`` against the packet
+        interval. Returns (hit, key=lower bound of any lane's entry t)."""
+        lb = jnp.float32(-3.0e38)
+        ub = big
+        for axis in range(3):
+            bmn = header_ref[c * 8 + axis]
+            bmx = header_ref[c * 8 + 3 + axis]
+            il = i_lo[axis]
+            ih = i_hi[axis]
+            a_lo = bmn - o_hi[axis]
+            a_hi = bmn - o_lo[axis]
+            b_lo = bmx - o_hi[axis]
+            b_hi = bmx - o_lo[axis]
+            t00 = a_lo * il
+            t01 = a_lo * ih
+            t02 = a_hi * il
+            t03 = a_hi * ih
+            tx0_lo = jnp.minimum(jnp.minimum(t00, t01), jnp.minimum(t02, t03))
+            tx0_hi = jnp.maximum(jnp.maximum(t00, t01), jnp.maximum(t02, t03))
+            t10 = b_lo * il
+            t11 = b_lo * ih
+            t12 = b_hi * il
+            t13 = b_hi * ih
+            tx1_lo = jnp.minimum(jnp.minimum(t10, t11), jnp.minimum(t12, t13))
+            tx1_hi = jnp.maximum(jnp.maximum(t10, t11), jnp.maximum(t12, t13))
+            # per-lane tmin_axis = min(tx0, tx1): lower bound over lanes;
+            # per-lane tmax_axis = max(tx0, tx1): upper bound over lanes.
+            lb = jnp.maximum(lb, jnp.minimum(tx0_lo, tx1_lo))
+            ub = jnp.minimum(ub, jnp.maximum(tx0_hi, tx1_hi))
+        hit = (ub >= jnp.maximum(lb, 0.0)) & (lb < t_pk)
+        return hit, lb
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, node_key, sp, t_pk, t_best, tri_best, n_int, n_leaf = c
+        # Staleness is checked lazily at visit time: a node popped with
+        # entry key >= the (since-tightened) packet occlusion bound skips
+        # both the leaf tests and the child tests, costing one light
+        # iteration — no nested pop loop (a nested while inside the walk
+        # stalled the Mosaic compile).
+        fresh = node_key < t_pk
+        is_leaf = header_ref[node * 8 + 7] > 0.5
+        n_int = n_int + ((~is_leaf) & fresh).astype(jnp.int32)
+        n_leaf = n_leaf + (is_leaf & fresh).astype(jnp.int32)
+
+        def do_leaf(args):
+            tb, trib = args
+            row = rows_ref[pl.ds(node, 1), :]
+            if _PROFILE_NOLEAF:
+                return tb, trib
+            return _leaf_tests(lambda k: row[0, k], ox, oy, oz, dx, dy, dz,
+                               tb, trib)
+
+        leaf_work = is_leaf & fresh
+        t_best, tri_best = jax.lax.cond(
+            leaf_work, do_leaf, lambda args: args, (t_best, tri_best))
+        # The only vector->scalar sync in the loop: refresh the packet
+        # occlusion bound after a leaf may have tightened some lane.
+        t_pk = jnp.where(leaf_work, jnp.max(t_best), t_pk)
+
+        left = node + 1
+
+        def child_tests(_):
+            r = header_ref[left * 8 + 6].astype(jnp.int32)
+            hit_l, key_l = ivt(left, t_pk)
+            hit_r, key_r = ivt(r, t_pk)
+            return r, jnp.where(hit_l, key_l, big), jnp.where(hit_r, key_r, big)
+
+        right, key_l, key_r = jax.lax.cond(
+            is_leaf | ~fresh, lambda _: (jnp.int32(0), big, big),
+            child_tests, 0)
+
+        hit_l = key_l < big
+        hit_r = key_r < big
+        both = hit_l & hit_r
+        near = jnp.where(key_l <= key_r, left, right)
+        near_key = jnp.minimum(key_l, key_r)
+        far = left + right - near
+        far_key = jnp.maximum(key_l, key_r)
+
+        @pl.when(both)
+        def _():
+            slot = jnp.minimum(sp, _STACK_MAX - 1)
+            stack_node_ref[slot] = far
+            stack_key_ref[slot] = far_key
+
+        sp = jnp.minimum(sp + both.astype(jnp.int32), _STACK_MAX - 1)
+        descend = (~is_leaf) & fresh & (hit_l | hit_r)
+
+        popped_ok = sp > 0
+        pop_slot = jnp.maximum(sp - 1, 0)
+        node = jnp.where(
+            descend, near,
+            jnp.where(popped_ok, stack_node_ref[pop_slot], -1))
+        node_key = jnp.where(
+            descend, near_key,
+            jnp.where(popped_ok, stack_key_ref[pop_slot], big))
+        sp = jnp.where(descend, sp, pop_slot)
+        return node, node_key, sp, t_pk, t_best, tri_best, n_int, n_leaf
+
+    node0 = jnp.where(t_pk0 > 0.0, jnp.int32(0), jnp.int32(-1))
+    init = (node0, jnp.float32(-3.0e38), jnp.int32(0), t_pk0, t0, tri0,
+            jnp.int32(0), jnp.int32(0))
+    _, _, _, _, t_best, tri_best, n_int, n_leaf = jax.lax.while_loop(
+        cond, body, init)
+    if _PROFILE_COUNTS:
+        t_out[0] = jnp.full(t0.shape, n_int.astype(jnp.float32))
+        tri_out[0] = jnp.full(t0.shape, n_leaf)
+        return
     t_out[0] = t_best
     tri_out[0] = tri_best.astype(jnp.int32)
 
@@ -513,9 +747,9 @@ def _kernel_smem_ordered2(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 
         @pl.when(alive & both)
         def _():
-            stack_ref[k, sp] = far
+            stack_ref[k, jnp.minimum(sp, _STACK_MAX - 1)] = far
 
-        sp = sp + (alive & both).astype(jnp.int32)
+        sp = jnp.minimum(sp + (alive & both).astype(jnp.int32), _STACK_MAX - 1)
         descend = alive & (~is_leaf) & (hit_l | hit_r)
         do_pop = alive & jnp.logical_not(descend)
         sp_pop = sp - do_pop.astype(jnp.int32)
@@ -939,6 +1173,19 @@ def trace_rays_pallas(kbvh: KernelBVH, o, d, t_max, interpret: bool = False):
                 out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
                            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
                 scratch_shapes=[pltpu.SMEM((2, _STACK_MAX), jnp.int32)],
+                interpret=interpret,
+            )(header, kbvh.rows, *rays)
+            return t.reshape(-1)[:n], tri.reshape(-1)[:n]
+        if _USE_INTERVAL:
+            t, tri = pl.pallas_call(
+                _kernel_smem_interval,
+                grid=(nb,),
+                in_specs=[smem_spec, node_spec] + [ray_spec] * 7,
+                out_specs=(ray_spec, ray_spec),
+                out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
+                scratch_shapes=[pltpu.SMEM((_STACK_MAX,), jnp.int32),
+                                pltpu.SMEM((_STACK_MAX,), jnp.float32)],
                 interpret=interpret,
             )(header, kbvh.rows, *rays)
             return t.reshape(-1)[:n], tri.reshape(-1)[:n]

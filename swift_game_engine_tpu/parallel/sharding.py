@@ -45,21 +45,38 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
     """Build a jitted, image-plane-sharded RT frame function.
 
     Returns fn(transforms, palettes, inv_view_proj, cam_pos) -> (H,W,3).
-    Geometry/BVH replicate to every device; the per-ray pipeline partitions
-    over the "rays" axis with zero cross-device traffic until assembly.
+    Geometry/BVH replicate to every device; the per-ray pipeline runs under
+    ``jax.shard_map`` over the "rays" axis, so each device executes the FULL
+    per-shard pipeline — including the Pallas traversal `pallas_call` — on
+    its local rays by construction (jit auto-partitioning would treat the
+    custom call as unpartitionable and gather the whole batch onto one
+    device). Zero cross-device traffic until the final image assembly
+    (an all-gather over ICI implied by the replicated output sharding).
     """
     from ..render import rt as RT
     from ..render.scene_geometry import flatten_frame
     from ..render.camera import generate_rays, tile_permutation
 
     axis = mesh.axis_names[0]
-    ray_sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     # Tile-coherent packet order (static): each device's contiguous shard is
     # a run of square pixel tiles, so its Pallas packets stay coherent.
     perm_np, inv_np = tile_permutation(width, height)
     perm = jnp.asarray(perm_np)
     inv_perm = jnp.asarray(inv_np)
+    n_dev = mesh.devices.size
+
+    def per_shard(fg, cam_pos, o, d):
+        # Runs once per device on the LOCAL ray shard; fg/cam replicate.
+        return RT._render_rays(geo, fg, ibl, lights, cam_pos, o, d,
+                               max_layers, shadow_layers, True, True)
+
+    # check_vma=False: the traversal while_loops seed their carries from
+    # unvarying constants and tighten them with ray-varying values — valid
+    # per-device code that the varying-manual-axes type check rejects.
+    shard_fn = jax.shard_map(per_shard, mesh=mesh,
+                             in_specs=(P(), P(), P(axis), P(axis)),
+                             out_specs=P(axis), check_vma=False)
 
     @partial(jax.jit, out_shardings=rep)
     def render(transforms, palettes, ivp, cam_pos):
@@ -68,15 +85,13 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
         o = o[perm]
         d = d[perm]
         n = o.shape[0]
-        n_dev = mesh.devices.size
         pad = (-n) % n_dev
         if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            # Park padded rays far outside the scene (dead packets exit at
+            # the root test) rather than at the origin.
+            o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
             d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
-        o = jax.lax.with_sharding_constraint(o, ray_sh)
-        d = jax.lax.with_sharding_constraint(d, ray_sh)
-        img = RT._render_rays(geo, fg, ibl, lights, cam_pos, o, d,
-                              max_layers, shadow_layers, True, True)
+        img = shard_fn(fg, cam_pos, o, d)
         img = img[:n][inv_perm]
         return img.reshape(height, width, 3)
 

@@ -10,10 +10,11 @@ broadcast; use with (agent x agent) matrices.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 _EPS = 1e-6
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 
 
 def _earliest_root(A, B, C, t_min, t_max):

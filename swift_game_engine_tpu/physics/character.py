@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .. import math3d as m3
@@ -28,9 +29,9 @@ from .collision_world import TriangleSoup
 from . import queries as Q
 from .capsule_pair import capsule_capsule_sweep
 
-BIG = jnp.float32(3.0e38)
-UP = jnp.array([0.0, 1.0, 0.0])
-DOWN = jnp.array([0.0, -1.0, 0.0])
+BIG = np.float32(3.0e38)
+UP = np.array([0.0, 1.0, 0.0], np.float32)
+DOWN = np.array([0.0, -1.0, 0.0], np.float32)
 MANIFOLD_SLOTS = 4          # reference ContactManifoldCache.maxCount
 MANIFOLD_FRAMES = 8         # reference ContactManifoldCache.maxFrames
 SIDE_FRAMES = 3

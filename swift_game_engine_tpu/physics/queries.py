@@ -13,8 +13,10 @@ core-line vs edge-line: linear since both directions are fixed;
 endpoint-sphere vs vertex / edge, vertex vs core cylinder: quadratics).
 The true TOI t* is always the *first* root of its achieving feature's
 equation (feature distance >= capsule-triangle distance > r for t < t*),
-so: generate every feature's first root, validate each candidate with one
-exact distance evaluation (dist <= r + tol), and take the min. This turns
+so: generate every feature's first root, validate each candidate by
+checking its contact point lies in the feature's Voronoi region (face
+barycentric / edge parameter / vertex ownership checks — see
+``_analytic_toi``), and take the min over valid candidates. This turns
 the reference's <=256-iteration conservative-advancement loop
 (CollisionQuery.swift:1285-1394) into one data-parallel program — the same
 answer the reference's CA + 10-step bisection converges to, without the
@@ -38,6 +40,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..math3d import cross
@@ -52,7 +55,7 @@ CONTACT_EPS = 1e-5
 # lockstep kernel launch.
 DEFAULT_CA_ITERS = 48
 REFINE_ITERS = 10
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 
 
 class CapsuleCastHit(NamedTuple):
@@ -65,7 +68,10 @@ class CapsuleCastHit(NamedTuple):
     mu_s: jnp.ndarray
     mu_k: jnp.ndarray
     flatten: jnp.ndarray       # () bool
-    iterations: jnp.ndarray    # () int32 — CA iteration count (stats)
+    iterations: jnp.ndarray    # () int32 — path-dependent query stats:
+    # analytic path = AABB-prefilter candidate count; CA path = iteration
+    # count. Consumers treat it as the per-query work counter
+    # (CollisionQueryStats analog), not specifically CA iterations.
 
 
 class CapsuleOverlapHits(NamedTuple):
@@ -309,7 +315,7 @@ def _analytic_toi(soup: TriangleSoup, from_pos, dir, length, radius,
 
 @partial(jax.jit, static_argnames=("blocking",))
 def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
-                 mask=jnp.uint32(0xFFFFFFFF), blocking=False,
+                 mask=np.uint32(0xFFFFFFFF), blocking=False,
                  min_normal_y=None) -> CapsuleCastHit:
     """Sweep a Y-axis capsule along ``delta`` against all triangles.
 
@@ -332,7 +338,7 @@ def capsule_cast(soup: TriangleSoup, from_pos, delta, radius, half_height,
 
 @partial(jax.jit, static_argnames=("max_iters", "blocking"))
 def capsule_cast_ca(soup: TriangleSoup, from_pos, delta, radius, half_height,
-                    mask=jnp.uint32(0xFFFFFFFF), blocking=False,
+                    mask=np.uint32(0xFFFFFFFF), blocking=False,
                     min_normal_y=None, max_iters: int = DEFAULT_CA_ITERS) -> CapsuleCastHit:
     """Conservative-advancement cast — schedule-parity twin of the
     reference (CollisionQuery.swift:1285-1394): advance step
@@ -414,7 +420,7 @@ def capsule_cast_ca(soup: TriangleSoup, from_pos, delta, radius, half_height,
 
 @partial(jax.jit, static_argnames=("k",))
 def capsule_overlap_all(soup: TriangleSoup, center, radius, half_height,
-                        mask=jnp.uint32(0xFFFFFFFF), k: int = 8) -> CapsuleOverlapHits:
+                        mask=np.uint32(0xFFFFFFFF), k: int = 8) -> CapsuleOverlapHits:
     """All penetrating triangles, deepest-K.
 
     The reference returns the first up-to-8 hits in traversal order and its
@@ -448,7 +454,7 @@ def capsule_overlap_all(soup: TriangleSoup, center, radius, half_height,
 
 @jax.jit
 def raycast(soup: TriangleSoup, origin, direction, max_distance,
-            mask=jnp.uint32(0xFFFFFFFF)) -> RaycastHit:
+            mask=np.uint32(0xFFFFFFFF)) -> RaycastHit:
     origin = jnp.asarray(origin, jnp.float32)
     direction = jnp.asarray(direction, jnp.float32)
     hit, t = ray_triangle(origin, direction, soup.v0, soup.v1, soup.v2)

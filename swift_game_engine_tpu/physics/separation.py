@@ -1,11 +1,22 @@
 """Agent-agent separation after move-and-slide.
 
 TPU reformulation of the reference's XZ hash-grid Gauss-Seidel pass
-(reference: Game/Systems.swift:1906-2210): all pairs are evaluated as an
-(N x N) masked matrix with Jacobi accumulation per iteration instead of
-sequential in-place pair updates — with the same per-pair position/impulse
-math (inverse-mass-weighted XZ push + approach-velocity cancellation).
-Demo-scale agent counts make brute-force all-pairs cheaper than any grid.
+(reference: Game/Systems.swift:1906-2210) with the same per-pair
+position/impulse math (inverse-mass-weighted XZ push + approach-velocity
+cancellation), Jacobi-accumulated per iteration instead of sequential
+in-place pair updates.
+
+Candidate generation scales with N:
+  * small N (<= _GRID_MIN_N): dense (N x N) masked matrix — cheaper than
+    any sort at demo scale.
+  * large N: the reference's XZ grid, TPU-shaped — agents sort by integer
+    cell key (cell = 2*maxR + margin, Systems.swift:2130-2135), and each
+    agent gathers a fixed window of _CELL_CAP sorted entries from each of
+    its 9 neighbor cells via searchsorted. O(N * 9 * CAP) pair terms, all
+    gathers, no scatters. Pairs beyond _CELL_CAP co-residents per cell are
+    dropped for that iteration (the reference's Gauss-Seidel is similarly
+    approximate under extreme stacking); the distance test makes boundary
+    key aliasing a pure false positive.
 
 The reference's per-pair "static blocked" redistribution (casting each pair
 move against the world, Systems.swift:2002-2037) is folded into the
@@ -17,6 +28,7 @@ tunneling.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -28,6 +40,95 @@ from .collision_world import TriangleSoup
 from .character import (_resolve_hit, AGENT_SEPARATION, ControllerParams,
                         ControllerState, BIG, DOWN)
 
+# Dense-matrix cutoff and per-cell candidate cap (env-tunable).
+_GRID_MIN_N = int(os.environ.get("SGE_SEP_GRID_MIN_N", "64"))
+_CELL_CAP = int(os.environ.get("SGE_SEP_CELL_CAP", "12"))
+_FORCE_GRID = os.environ.get("SGE_SEP_FORCE_GRID", "0") == "1"
+
+
+def _pair_accumulate(position, velocity, j_idx, pair_ok, params, inv_w,
+                     separation_margin, height_margin):
+    """Shared per-pair math. ``j_idx`` is (N, K) partner indices (clamped
+    in-range), ``pair_ok`` the (N, K) validity mask. Returns (d_position,
+    d_velocity) Jacobi accumulations — identical formulas for the dense
+    matrix (K = N, j_idx = arange) and the grid candidates."""
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    dx = px[:, None] - px[j_idx]
+    dz = pz[:, None] - pz[j_idx]
+    dist_sq = dx * dx + dz * dz
+
+    skin_allow = jnp.minimum(params.skin_width[:, None],
+                             params.skin_width[j_idx])
+    margin = jnp.minimum(separation_margin, skin_allow)
+    min_dist = params.agent_radius[:, None] + params.agent_radius[j_idx] + margin
+
+    a_min = py - params.half_height
+    a_max = py + params.half_height
+    height_sep = (a_max[:, None] < a_min[j_idx] - height_margin) | \
+                 (a_min[:, None] > a_max[j_idx] + height_margin)
+
+    w_sum = inv_w[:, None] + inv_w[j_idx]
+    overlap = pair_ok & ~height_sep & (dist_sq < min_dist * min_dist) & (w_sum > 0)
+
+    dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-8))
+    nx = dx / dist
+    nz = dz / dist
+    pen = min_dist - dist
+    corr = jnp.where(overlap, pen / jnp.maximum(w_sum, 1e-20), 0.0)
+
+    # Jacobi position accumulation (each pair contributes to both agents).
+    move_x = jnp.sum(nx * corr, axis=1) * inv_w
+    move_z = jnp.sum(nz * corr, axis=1) * inv_w
+    zeros = jnp.zeros_like(move_x)
+    d_pos = jnp.stack([move_x, zeros, move_z], axis=-1)
+
+    # Approach-velocity impulse (Systems.swift:1991-2001).
+    vx, vz = velocity[:, 0], velocity[:, 2]
+    rvx = vx[:, None] - vx[j_idx]
+    rvz = vz[:, None] - vz[j_idx]
+    vn = rvx * nx + rvz * nz
+    approaching = overlap & (vn < 0)
+    impulse = jnp.where(approaching, -vn, 0.0)
+    scale = inv_w[:, None] / jnp.maximum(w_sum, 1e-20)
+    dvx = jnp.sum(nx * impulse * scale, axis=1)
+    dvz = jnp.sum(nz * impulse * scale, axis=1)
+    d_vel = jnp.stack([dvx, zeros, dvz], axis=-1)
+    return d_pos, d_vel
+
+
+def _grid_candidates(position, params, separation_margin):
+    """XZ-grid candidate lists: (j_idx (N, 9*CAP), base_ok mask).
+
+    Cell size = 2*maxR + margin (Systems.swift:2130-2135). Sort agents by
+    integer cell key, then each agent windows CAP sorted entries from each
+    neighbor cell found via searchsorted. All shapes static.
+    """
+    n = position.shape[0]
+    cell = 2.0 * jnp.max(params.agent_radius) + separation_margin
+    # Clamp cell coords so parked/despawned agents (arbitrary positions,
+    # masked out of every pair anyway) can't overflow the int32 row key.
+    # Live agents are chunk-rebased near the player, far inside this range.
+    lim = jnp.int32(1 << 12)
+    cx = jnp.clip(jnp.floor(position[:, 0] / cell), -lim, lim).astype(jnp.int32)
+    cz = jnp.clip(jnp.floor(position[:, 2] / cell), -lim, lim).astype(jnp.int32)
+    cz0 = cz - jnp.min(cz)
+    width = jnp.max(cz0) + 3          # +3: neighbor offsets stay in-row range
+    key = (cx - jnp.min(cx) + 1) * width + cz0 + 1
+    order = jnp.argsort(key)
+    key_sorted = key[order]
+
+    offs = jnp.array([dxc * 1 for dxc in range(-1, 2)], jnp.int32)
+    # 9 neighbor cell keys per agent
+    nk = key[:, None] + (offs[:, None] * width + offs[None, :]).reshape(-1)[None, :]
+    start = jnp.searchsorted(key_sorted, nk)                      # (N, 9)
+    win = start[..., None] + jnp.arange(_CELL_CAP)[None, None, :]  # (N,9,CAP)
+    win_c = jnp.minimum(win, n - 1)
+    same_cell = key_sorted[win_c] == nk[..., None]
+    in_range = win < n
+    j_idx = order[win_c].reshape(n, -1)
+    ok = (same_cell & in_range).reshape(n, -1)
+    return j_idx, ok
+
 
 def separate_agents(soup: TriangleSoup, position, velocity,
                     state: ControllerState, params: ControllerParams,
@@ -38,53 +139,28 @@ def separate_agents(soup: TriangleSoup, position, velocity,
     position/velocity: (N,3).
     """
     n = position.shape[0]
-    eye = jnp.eye(n, dtype=bool)
     solid = params.agent_solid & params.active
-    pair_ok = solid[:, None] & solid[None, :] & ~eye
     inv_w = jnp.where(params.agent_mass_weight > 0,
                       1.0 / jnp.maximum(params.agent_mass_weight, 1e-20), 0.0)
+    use_grid = _FORCE_GRID or n > _GRID_MIN_N
 
     start_position = position
     velocity0 = velocity
 
     for _ in range(iterations):
-        dx = position[:, 0][:, None] - position[:, 0][None, :]
-        dz = position[:, 2][:, None] - position[:, 2][None, :]
-        dist_sq = dx * dx + dz * dz
-        skin_allow = jnp.minimum(params.skin_width[:, None], params.skin_width[None, :])
-        margin = jnp.minimum(separation_margin, skin_allow)
-        min_dist = params.agent_radius[:, None] + params.agent_radius[None, :] + margin
-
-        a_min = position[:, 1] - params.half_height
-        a_max = position[:, 1] + params.half_height
-        height_sep = (a_max[:, None] < a_min[None, :] - height_margin) | \
-                     (a_min[:, None] > a_max[None, :] + height_margin)
-
-        w_sum = inv_w[:, None] + inv_w[None, :]
-        overlap = pair_ok & ~height_sep & (dist_sq < min_dist * min_dist) & (w_sum > 0)
-
-        dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-8))
-        nx = dx / dist
-        nz = dz / dist
-        pen = min_dist - dist
-        corr = jnp.where(overlap, pen / jnp.maximum(w_sum, 1e-20), 0.0)
-
-        # Jacobi position accumulation (each pair contributes to both agents).
-        move_x = jnp.sum(nx * corr, axis=1) * inv_w
-        move_z = jnp.sum(nz * corr, axis=1) * inv_w
-        position = position + jnp.stack(
-            [move_x, jnp.zeros_like(move_x), move_z], axis=-1)
-
-        # Approach-velocity impulse (Systems.swift:1991-2001).
-        rvx = velocity[:, 0][:, None] - velocity[:, 0][None, :]
-        rvz = velocity[:, 2][:, None] - velocity[:, 2][None, :]
-        vn = rvx * nx + rvz * nz
-        approaching = overlap & (vn < 0)
-        impulse = jnp.where(approaching, -vn, 0.0)
-        scale = inv_w[:, None] / jnp.maximum(w_sum, 1e-20)
-        dvx = jnp.sum(nx * impulse * scale, axis=1)
-        dvz = jnp.sum(nz * impulse * scale, axis=1)
-        velocity = velocity + jnp.stack([dvx, jnp.zeros_like(dvx), dvz], axis=-1)
+        if use_grid:
+            j_idx, ok = _grid_candidates(position, params, separation_margin)
+            self_pair = j_idx == jnp.arange(n)[:, None]
+            pair_ok = ok & ~self_pair & solid[:, None] & solid[j_idx]
+        else:
+            j_idx = jnp.broadcast_to(jnp.arange(n)[None, :], (n, n))
+            pair_ok = solid[:, None] & solid[None, :] & \
+                ~jnp.eye(n, dtype=bool)
+        d_pos, d_vel = _pair_accumulate(position, velocity, j_idx, pair_ok,
+                                        params, inv_w, separation_margin,
+                                        height_margin)
+        position = position + d_pos
+        velocity = velocity + d_vel
 
     # Post-process: re-run the accumulated delta through move-and-slide vs the
     # static world, then re-snap to ground (Systems.swift:2048-2123).

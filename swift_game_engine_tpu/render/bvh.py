@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..physics.primitives import ray_triangle
 
 LEAF_SIZE = 4
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 
 
 class BVHTopology(NamedTuple):
@@ -281,6 +281,13 @@ def refit(topo: BVHTopology, v0, v1, v2, translucent=None) -> BVHArrays:
     child merges (mirrors RTAccelerationBuilder's refit +
     CollisionQuery.swift:528-575's deepest-first parent pass).
     """
+    # Static depth guard for the ordered traversal kernels' SMEM stack: at
+    # most one push per interior level, so tree depth bounds stack use.
+    from ..ops.rt_kernel import _STACK_MAX
+    assert len(topo.levels) < _STACK_MAX, (
+        f"BVH depth {len(topo.levels)} exceeds traversal stack "
+        f"({_STACK_MAX}); rebuild with a larger leaf or a balanced split")
+
     t_order = jnp.asarray(topo.tri_order)
     tri_min = jnp.minimum(jnp.minimum(v0, v1), v2)[t_order]   # ordered space
     tri_max = jnp.maximum(jnp.maximum(v0, v1), v2)[t_order]

@@ -23,9 +23,9 @@ ENV_SIZE = 128
 ENV_MIP_COUNT = 8  # 128 -> 1
 LUT_SIZE = 128
 
-_SKY = jnp.array([0.65, 0.72, 0.9])
-_GROUND = jnp.array([0.12, 0.12, 0.14])
-_SUN_DIR = jnp.array([0.2, 0.9, 0.1]) / np.linalg.norm([0.2, 0.9, 0.1])
+_SKY = np.array([0.65, 0.72, 0.9], np.float32)
+_GROUND = np.array([0.12, 0.12, 0.14], np.float32)
+_SUN_DIR = (np.array([0.2, 0.9, 0.1]) / np.linalg.norm([0.2, 0.9, 0.1])).astype(np.float32)
 
 # SH basis constants (RayTracing.metalinc:65-86).
 _C0, _C1 = 0.282095, 0.488603

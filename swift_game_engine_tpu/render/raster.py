@@ -19,6 +19,7 @@ layer accumulation.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..math3d import normalize
@@ -30,7 +31,7 @@ from .textures import sample_bilinear
 from .camera import generate_rays
 
 # Fixed raster light direction (ShadersRaster.metalinc:89).
-RASTER_L = jnp.array([-0.2, 1.0, -0.4]) / jnp.linalg.norm(jnp.array([-0.2, 1.0, -0.4]))
+RASTER_L = (np.array([-0.2, 1.0, -0.4]) / np.linalg.norm([-0.2, 1.0, -0.4])).astype(np.float32)
 
 
 def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v,

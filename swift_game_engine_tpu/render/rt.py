@@ -23,6 +23,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..math3d import normalize
@@ -34,9 +35,9 @@ from .shading import (eval_brdf, fresnel_schlick, fresnel_schlick3,
                       shadow_bias, hash12, apply_normal_map, reflect, refract)
 from .textures import sample_bilinear
 
-BG_COLOR = jnp.array([0.02, 0.02, 0.03])
+BG_COLOR = np.array([0.02, 0.02, 0.03], np.float32)
 AMBIENT_INTENSITY = 0.25  # RayTracingRenderer.swift:82
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 # No-specialization fallback: sample every slot (used when callers pass
 # usage=None, e.g. direct API use outside render_frame).
 FULL_USAGE = TextureUsage(True, True, True, True, True, True)

@@ -88,12 +88,11 @@ def texture_usage(geo: "SceneGeometry") -> TextureUsage:
     import os
     if os.environ.get("SGE_NO_TEX") == "1":   # profiling: no texture taps
         return TextureUsage(False, False, False, False, False, False)
-    # Key on identity, but keep a strong reference to the keyed object in
-    # the cache entry and verify it: a bare id() key is unsafe because ids
-    # are reused after garbage collection (a fresh materials object at a
-    # recycled address would silently inherit another scene's usage mask).
-    key = id(geo.materials)
-    hit = _USAGE_CACHE.get(key)
+    # Single-slot memo keyed on object identity (verified with `is` — a
+    # bare id() key would alias recycled addresses). One slot bounds the
+    # cache: long sessions that rebuild scenes don't pin every materials
+    # object for process lifetime, and a frame renders one scene at a time.
+    hit = _USAGE_CACHE.get("slot")
     if hit is not None and hit[0] is geo.materials:
         return hit[1]
     mats = geo.materials
@@ -110,7 +109,7 @@ def texture_usage(geo: "SceneGeometry") -> TextureUsage:
                          emissive=used(mats.emissive_tex),
                          occlusion=used(mats.occlusion_tex),
                          normal=used(mats.normal_tex), alpha_tex=alpha_tex)
-    _USAGE_CACHE[key] = (mats, usage)
+    _USAGE_CACHE["slot"] = (mats, usage)
     return usage
 
 

@@ -87,17 +87,29 @@ class Engine:
         rh = max(int(height * self.rt_scale), 1)
         self.rt_size = (rw, rh)
 
+        def _upscale(img):
+            """RT target -> drawable size, bilinear — the reference samples
+            the rtResolutionScale-sized RT texture from a fullscreen quad
+            onto the full drawable (Renderer.swift:232-258, 260-290). The
+            tone map runs after sampling, per drawable pixel, like the
+            composite fragment shader."""
+            if (rw, rh) == (width, height):
+                return img
+            return jax.image.resize(img, (height, width, img.shape[-1]),
+                                    method="bilinear")
+
         @jax.jit
         def _render_rt(transforms, palettes, ivp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
-            return RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
-                                   max_layers=max_layers,
-                                   shadow_layers=shadow_layers)
+            img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
+                                  max_layers=max_layers,
+                                  shadow_layers=shadow_layers)
+            return _upscale(img)
 
         @jax.jit
         def _render_raster(transforms, palettes, ivp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
-            return render_frame_raster(geo, fg, ivp, cam_pos, rw, rh)
+            return _upscale(render_frame_raster(geo, fg, ivp, cam_pos, rw, rh))
 
         comp = jax.jit(lambda img, exposure: composite_frame(img, exposure, True))
 
@@ -157,10 +169,12 @@ class Engine:
                 img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos,
                                       rw, rh, max_layers=max_layers,
                                       shadow_layers=shadow_layers)
+                img = _upscale(img)
                 if tone_on:
                     img = composite_frame(img, exposure, True)
             else:
-                img = render_frame_raster(geo, fg, ivp, cam_pos, rw, rh)
+                img = _upscale(render_frame_raster(geo, fg, ivp, cam_pos,
+                                                   rw, rh))
             u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             prev = chunk_local_to_world(state.wp_prev_chunk[e],
                                         state.wp_prev_local[e])

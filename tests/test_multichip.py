@@ -78,6 +78,59 @@ def test_sharded_output_is_sharded_input_consistent(tiny_scene):
     assert np.isfinite(img).all()
 
 
+_PALLAS_SHARD_CODE = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("SGE_JAX_TRAVERSAL", None)   # REAL traversal path
+os.environ["SGE_RT_BLOCK"] = "1024"          # keep interpret mode fast
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import numpy as np
+import jax
+import jax.numpy as jnp
+from swift_game_engine_tpu.scene.demo_scene import DemoScene
+from swift_game_engine_tpu.parallel.sharding import make_mesh, sharded_render
+from swift_game_engine_tpu.render.ibl import IBL
+from swift_game_engine_tpu.render.camera import Camera
+from swift_game_engine_tpu.render import rt as RT
+assert not RT._FORCE_JAX_TRAVERSAL, "must exercise the Pallas kernel"
+
+scene = DemoScene(include_imported_assets=False).build()
+stepper = scene["stepper"]
+cam = Camera()
+cam.position = np.array([0.0, 4.0, 14.0], np.float32)
+cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+w, h = 64, 32
+ivp = cam.inv_view_proj(w, h)
+state = stepper.substep(scene["state"], 1.0 / 60.0)
+transforms, palettes = stepper.extract(state, 1.0, np.zeros(3, np.float32))
+ibl = IBL.build()
+geo, lights = scene["geometry"], scene["lights"]
+img8 = np.asarray(sharded_render(make_mesh(jax.devices()[:8]), geo, ibl,
+                                 lights, w, h, max_layers=1, shadow_layers=1)(
+    transforms, palettes, ivp, jnp.asarray(cam.position)))
+img1 = np.asarray(sharded_render(make_mesh(jax.devices()[:1]), geo, ibl,
+                                 lights, w, h, max_layers=1, shadow_layers=1)(
+    transforms, palettes, ivp, jnp.asarray(cam.position)))
+assert np.isfinite(img8).all() and img8.std() > 1e-3
+np.testing.assert_allclose(img8, img1, rtol=1e-5, atol=1e-5)
+print("PALLAS_SHARD_OK")
+"""
+
+
+def test_pallas_kernel_under_shard_map():
+    """8-device parity on the REAL code path: the production Pallas
+    traversal (interpret mode on CPU) executes inside jax.shard_map — not
+    the pure-JAX fallback the rest of the suite uses (VERDICT r2 #4)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run([sys.executable, "-c", _PALLAS_SHARD_CODE],
+                          cwd=REPO, env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
+    assert "PALLAS_SHARD_OK" in proc.stdout
+
+
 def test_dryrun_multichip_fresh_process():
     """Pin the driver-visible entry: must self-provision its CPU mesh."""
     code = ("import __graft_entry__ as g; g.dryrun_multichip(8)")
