@@ -320,13 +320,18 @@ def refit(topo: BVHTopology, v0, v1, v2, translucent=None) -> BVHArrays:
     return out._replace(rows=pack_bvh(out, translucent=translucent).rows)
 
 
-def traverse(bvh: BVHArrays, origin, direction, t_max, max_steps: int = 512,
+def traverse(bvh: BVHArrays, origin, direction, t_max, max_steps: int = None,
              any_hit: bool = False):
     """Nearest-hit (or any-hit) traversal for one ray. vmap over rays.
 
     Returns (t, tri_index, bary_u, bary_v, hit). ``tri_index`` is in original
-    triangle id space.
+    triangle id space. ``max_steps`` defaults to a full-walk bound (every
+    node visited once) — a fixed small cap silently truncates traversal on
+    larger trees and returns farther hits (caught by the raster-primary
+    parity test at 512).
     """
+    if max_steps is None:
+        max_steps = int(bvh.skip.shape[0]) + 2
     inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
                           jnp.where(direction < 0, -1e-12, 1e-12), direction)
 

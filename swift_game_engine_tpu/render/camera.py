@@ -69,6 +69,35 @@ class Camera:
         inv_v[:3, 3] = eye
         return (inv_v @ inv_p).astype(np.float32)
 
+    def view_proj(self, width: float, height: float) -> np.ndarray:
+        """Forward P @ V in numpy — exact inverse pair of inv_view_proj
+        (used by the tile rasterizer; rays from generate_rays(inv) and
+        fragments from view_proj agree to f32 rounding)."""
+        aspect = max(width / max(height, 1.0), 1e-4)
+        fov = np.float32(np.radians(self.fov_degrees))
+        ys = np.float32(1.0) / np.tan(fov * np.float32(0.5))
+        xs = ys / np.float32(aspect)
+        zs = np.float32(self.far_z / (self.near_z - self.far_z))
+        p = np.zeros((4, 4), np.float32)
+        p[0, 0] = xs
+        p[1, 1] = ys
+        p[2, 2] = zs
+        p[2, 3] = zs * np.float32(self.near_z)
+        p[3, 2] = -1.0
+
+        eye = np.asarray(self.position, np.float32)
+        f = np.asarray(self.target, np.float32) - eye
+        f = f / np.float32(np.linalg.norm(f) + 1e-20)
+        up = np.asarray(self.up, np.float32)
+        r = np.cross(f, up)
+        r = r / np.float32(np.linalg.norm(r) + 1e-20)
+        u = np.cross(r, f)
+        rot = np.stack([r, u, -f])
+        v = np.eye(4, dtype=np.float32)
+        v[:3, :3] = rot
+        v[:3, 3] = -rot @ eye
+        return (p @ v).astype(np.float32)
+
     @property
     def world_position(self) -> np.ndarray:
         """f64 world-space camera position (chunk*512 + local)."""

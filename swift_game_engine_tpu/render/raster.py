@@ -1,19 +1,18 @@
-"""Raster render path: primary visibility + the raster shading model.
+"""Raster render path: tile rasterizer visibility + the raster shading model.
 
 The reference's raster path is a vertex/fragment pipeline (MVP transform +
 normal-mapped hemispherical wrap diffuse, emissive, occlusion, unlit branch,
 per-material ACES tone map + dither — reference:
 Game/ShadersRaster.metalinc:38-101, Game/RenderPasses.swift:10-77).
 
-TPU design decision: a depth-tested rasterizer is a scatter-heavy shape XLA
-handles poorly, but the engine already owns a lockstep BVH; *primary-ray
-visibility produces the identical image* to depth-tested rasterization of
-the same geometry. So the "raster path" here = one primary traversal per
-pixel + the raster fragment model (no shadows, no bounces) — strictly
-cheaper than the RT path, same material feature set as the reference's
-raster shaders, plus the alpha-blended translucency the pipeline state
-provides (reference: Game/PipelineBuilder.swift:37-45) via front-to-back
-layer accumulation.
+Visibility comes from the binned Pallas tile rasterizer
+(render.tile_raster): true depth-tested rasterization, no BVH dependence —
+several times cheaper than a primary trace. Transparency layers use depth
+peeling (re-rasterize strictly behind the previous layer), reproducing the
+front-to-back alpha accumulation the reference gets from fixed-function
+blending (reference: Game/PipelineBuilder.swift:37-45). Shading is the
+raster fragment model, unchanged. SGE_RASTER_VIS=trace falls back to
+primary-ray visibility (the round-2 output-equivalent design).
 """
 
 from __future__ import annotations
@@ -83,10 +82,63 @@ def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v,
     return color, alpha, hit_pos
 
 
+import os
+
+_RASTER_VIS = os.environ.get("SGE_RASTER_VIS", "tile")  # tile | trace
+
+
 def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
                         cam_pos, width: int, height: int, max_layers: int = 2,
-                        background=BG_COLOR):
+                        background=BG_COLOR, view_proj=None):
     """Raster-path frame -> (H, W, 3)."""
+    if _RASTER_VIS == "tile":
+        return _render_tile(geo, fg, inv_view_proj, cam_pos, width, height,
+                            max_layers, background, view_proj)
+    return _render_trace(geo, fg, inv_view_proj, cam_pos, width, height,
+                         max_layers, background)
+
+
+def _render_tile(geo, fg, inv_view_proj, cam_pos, width, height, max_layers,
+                 background, view_proj):
+    from .tile_raster import rasterize, BIG
+    usage = texture_usage(geo)
+    if view_proj is None:
+        # analytic forward matrix preferred (engine passes it); numeric
+        # inverse is the library-level fallback
+        view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
+    ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
+    p = ray_o.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    v0, v1, v2 = fg.bvh.v0, fg.bvh.v1, fg.bvh.v2
+
+    accum = jnp.zeros((p, 3))
+    accum_alpha = jnp.zeros(p)
+    live = jnp.ones(p, bool)
+    prev_w = None
+    # Static peel loop: each layer rasterizes the nearest fragment strictly
+    # behind the previous layer's depth (misses carry BIG -> stay misses).
+    for _ in range(max_layers):
+        hits = rasterize(v0, v1, v2, view_proj, cam_pos, width, height,
+                         prev_w=prev_w, interpret=interpret)
+        found = hits.found & live & (accum_alpha < 0.99)
+        color, alpha, _ = _raster_shade(geo, fg, ray_o, ray_d, hits.t,
+                                        hits.tri, hits.u, hits.v, found,
+                                        usage)
+        contrib = jnp.where(found, alpha * (1.0 - accum_alpha), 0.0)
+        accum = accum + color * contrib[..., None]
+        accum_alpha = accum_alpha + contrib
+        live = found
+        # small relative margin so the divided-then-compared depth of the
+        # just-shaded fragment can't re-win the next peel
+        prev_w = jnp.where(found, hits.w_depth * 1.000001, BIG)
+
+    out = accum + jnp.asarray(background) * (1.0 - accum_alpha)[..., None]
+    return out.reshape(height, width, 3)
+
+
+def _render_trace(geo, fg, inv_view_proj, cam_pos, width, height, max_layers,
+                  background):
+    """Round-2 output-equivalent fallback: primary-ray visibility."""
     from .camera import tile_permutation
     usage = texture_usage(geo)
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)

@@ -104,6 +104,20 @@ _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 # in an oversized chunk still pay dense elementwise shade cost.
 _CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
 _CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
+# Packet-granular compaction for work that re-TRACES (layers 2+, mirror,
+# refraction): gather whole live packets instead of scattered lanes so the
+# retrace stays tile-coherent (see _chunked_packets). 0 = lane compaction.
+_PACKET_COMPACT = os.environ.get("SGE_RT_PACKET_COMPACT", "1") == "1"
+
+
+def _chunked_trace(mask, body, carry, cap_lanes):
+    """Compaction for chunk bodies that re-trace rays: packet-granular when
+    enabled (coherent retraces), lane-granular otherwise."""
+    if _PACKET_COMPACT:
+        from ..ops.rt_kernel import BLOCK
+        return _chunked_packets(mask, body, carry,
+                                cap_packets=max(cap_lanes // BLOCK, 1))
+    return _chunked(mask, body, carry, cap=cap_lanes)
 
 
 def _chunked(mask, body, carry, cap=None):
@@ -127,6 +141,58 @@ def _chunked(mask, body, carry, cap=None):
         return m, carry
 
     _, carry = jax.lax.while_loop(cond, step, (mask, carry))
+    return carry
+
+
+def _chunked_packets(mask, body, carry, cap_packets: int):
+    """Packet-granular compaction: like ``_chunked`` but gathers whole
+    traversal packets (runs of rt_kernel.BLOCK consecutive lanes) that
+    contain at least one set lane.
+
+    Lane-level compaction destroys the spatial coherence the packet
+    traversal kernel depends on — a gathered chunk of scattered lanes
+    spans many screen tiles, so each packet walks a near-full-scene
+    subtree union (measured: transparency layer 2 cost 84% of a full-frame
+    pass for 4.7x fewer rays). Packet-granular gathering keeps chunks
+    dense AND tile-coherent: selected packets stay bit-identical to their
+    primary-pass packets, dead lanes inside them are masked by ``valid``.
+
+    ``body`` keeps the exact _chunked contract: (idx (cap,), valid (cap,),
+    carry) with cap = cap_packets * BLOCK.
+    """
+    from ..ops.rt_kernel import BLOCK
+    p = mask.shape[0]
+    if p <= BLOCK or p % BLOCK != 0:
+        return _chunked(mask, body, carry, cap=min(p, cap_packets * BLOCK))
+    nb = p // BLOCK
+    cap_packets = min(nb, cap_packets)
+    pk = mask.reshape(nb, BLOCK)
+
+    def cond(c):
+        pk_live, _ = c
+        return jnp.any(pk_live)
+
+    def step(c):
+        pk_live, carry = c
+        pids = jnp.nonzero(jnp.any(pk_live, axis=1), size=cap_packets,
+                           fill_value=nb)[0]
+        pid_ok = pids < nb
+        safe_pid = jnp.minimum(pids, nb - 1)
+        idx = (safe_pid[:, None] * BLOCK +
+               jnp.arange(BLOCK)[None, :]).reshape(-1)
+        valid = (pk_live[safe_pid].reshape(-1) &
+                 jnp.repeat(pid_ok, BLOCK))
+        # out-of-range fill mirrors _chunked exactly: invalid lanes (dead
+        # lanes inside live packets + fill packets) scatter at p (dropped);
+        # bodies clamp gathers. Live lanes keep their packet-aligned slots,
+        # so kernel packets match primary-pass packets bit for bit.
+        idx = jnp.where(valid, idx, p)
+        carry = body(idx, valid, carry)
+        pk_live = pk_live.at[safe_pid].set(
+            jnp.where(pid_ok[:, None], False, pk_live[safe_pid]))
+        return pk_live, carry
+
+    _, carry = jax.lax.while_loop(cond, step, (pk, carry))
     return carry
 
 
@@ -387,11 +453,19 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     return color, m, n, hit_pos, bias
 
 
+# Primary visibility source for the RT path: "trace" = BVH packet kernel
+# (the reference's intersector semantics), "raster" = the binned tile
+# rasterizer (render.tile_raster) producing the identical hit records —
+# several times cheaper on TPU; all secondary rays (shadows, layers 2+,
+# mirror, refraction) still trace the BVH either way.
+_RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "trace")
+
+
 def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, inv_view_proj, cam_pos,
                  width: int, height: int, max_layers: int = 3,
                  shadow_layers: int = 4, enable_mirror: bool = True,
-                 enable_refraction: bool = True):
+                 enable_refraction: bool = True, view_proj=None):
     """Full RT frame -> (H, W, 3) linear color (rgba16f-equivalent range)."""
     from .camera import generate_rays, tile_permutation
     ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
@@ -399,9 +473,21 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     # un-permuted at the end.
     perm, inv_perm = tile_permutation(width, height)
     perm = jnp.asarray(perm)
+
+    primary = None
+    if _RT_PRIMARY == "raster":
+        from .tile_raster import rasterize
+        if view_proj is None:
+            view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
+        hits = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
+                         width, height,
+                         interpret=jax.default_backend() != "tpu")
+        primary = (hits.t[perm], hits.tri[perm], hits.u[perm], hits.v[perm],
+                   hits.found[perm])
+
     out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o[perm], ray_d[perm],
                        max_layers, shadow_layers, enable_mirror,
-                       enable_refraction)
+                       enable_refraction, primary=primary)
     out = out[jnp.asarray(inv_perm)]
     gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
                           jnp.arange(height, dtype=jnp.float32))
@@ -438,7 +524,7 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         new_c = color[safe] * (1.0 - f) + refl * f
         return color.at[idx].set(new_c)
 
-    return _chunked(mask, body, color, cap=_CHUNK_SMALL)
+    return _chunked_trace(mask, body, color, cap_lanes=_CHUNK_SMALL)
 
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
@@ -479,13 +565,14 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         new_c = old_c + (mix_color - old_c) * transmission[safe][..., None]
         return color.at[idx].set(new_c)
 
-    return _chunked(has_t, body, color, cap=_CHUNK_SMALL)
+    return _chunked_trace(has_t, body, color, cap_lanes=_CHUNK_SMALL)
 
 
 def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, cam_pos, ray_o, ray_d,
                  max_layers: int = 3, shadow_layers: int = 4,
-                 enable_mirror: bool = True, enable_refraction: bool = True):
+                 enable_mirror: bool = True, enable_refraction: bool = True,
+                 primary=None):
     """Trace + shade a flat ray batch -> (P,3) colors (no dither/reshape).
 
     Layer 1 is a dense full-batch trace + shade (every pixel needs it);
@@ -519,8 +606,11 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         next_o = hit_pos + d_l * (bias * 2.0)[..., None]
         return color, contrib, next_o
 
-    # ---- layer 1: dense over every ray.
-    t, tri, u, v, found = _trace_batch(fg.bvh, ray_o, d, jnp.ones(p, bool))
+    # ---- layer 1: dense over every ray (or pre-rasterized hit records).
+    if primary is not None:
+        t, tri, u, v, found = primary
+    else:
+        t, tri, u, v, found = _trace_batch(fg.bvh, ray_o, d, jnp.ones(p, bool))
     color, contrib, next_o = shade_layer(ray_o, d, t, tri, u, v, found,
                                          jnp.zeros(p))
     accum = color * contrib[..., None]
@@ -552,8 +642,9 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 live_next = live_next.at[idx].set(found & valid)
                 return o, live_next, accum, accum_alpha
 
-            o, live_next, accum, accum_alpha = _chunked(
-                live, chunk, (o, jnp.zeros_like(live), accum, accum_alpha))
+            o, live_next, accum, accum_alpha = _chunked_trace(
+                live, chunk, (o, jnp.zeros_like(live), accum, accum_alpha),
+                cap_lanes=_CHUNK)
             return o, live_next, accum, accum_alpha, layer + 1
 
         o, live, accum, accum_alpha, _ = jax.lax.while_loop(

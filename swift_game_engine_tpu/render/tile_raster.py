@@ -1,0 +1,285 @@
+"""Pallas tile rasterizer: binned, depth-tested primary visibility.
+
+The reference's raster path is a hardware vertex/fragment pipeline
+(reference: Game/ShadersRaster.metalinc:38-54 MVP transform,
+Game/RenderPasses.swift:56-77 MainPass draw; depth test less/write,
+Game/PipelineBuilder.swift:47-55). The TPU build owns rasterization:
+
+  * **Setup (XLA, vectorized over T triangles):** clip-space transform,
+    2D-homogeneous edge matrices, conservative screen AABBs, per-tile
+    binning (AABB/tile overlap mask -> fixed-width candidate index lists).
+    2D homogeneous rasterization (Olano & Greer 1997) needs NO near-plane
+    clipping: the cofactor matrix of the (x, y, w) vertex rows gives
+    per-pixel values lambda_i proportional to the perspective-correct
+    world barycentrics, valid for triangles crossing w = 0.
+  * **Raster kernel (Pallas, grid over screen tiles):** each program owns a
+    (TILE_H x TILE_W) pixel block and loops over its tile's candidate list
+    (count-bounded), evaluating the three edge forms over the whole pixel
+    block on the VPU and keeping the nearest fragment by a division-free
+    cross-multiplied depth test. Triangles are double-sided (the RT path
+    flips normals toward the ray; parity).
+  * **Resolve (XLA):** winner barycentrics -> world hit point -> ray t, so
+    the output is a drop-in (t, tri, u, v, found) hit record identical in
+    meaning to ops.rt_kernel.trace_batch_pallas — the deferred shading
+    path is shared with the RT pipeline.
+
+Depth peeling: pass ``prev_w`` (per-pixel view depth of the previous
+layer) to rasterize the nearest fragment strictly BEHIND it — the raster
+path's front-to-back alpha layering (the reference gets translucency from
+fixed-function blending, PipelineBuilder.swift:37-45).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 32
+TILE_W = 128
+# Max candidate triangles per tile. Overflowing tiles drop the excess for
+# that frame (counted in the returned stats) — raise SGE_RASTER_K for
+# pathological all-triangles-in-one-tile viewpoints.
+RASTER_K = int(os.environ.get("SGE_RASTER_K", "8192"))
+BIG = np.float32(3.0e38)
+
+
+class RasterHits(NamedTuple):
+    t: jnp.ndarray        # (H*W,) ray t (BIG at misses)
+    tri: jnp.ndarray      # (H*W,) int32 (-1 at misses)
+    u: jnp.ndarray        # (H*W,)
+    v: jnp.ndarray        # (H*W,)
+    found: jnp.ndarray    # (H*W,) bool
+    w_depth: jnp.ndarray  # (H*W,) view depth (for peeling)
+    overflow: jnp.ndarray  # () int32 — tiles whose candidates exceeded K
+
+
+def _setup(v0, v1, v2, view_proj, width, height, tiles_x, tiles_y):
+    """Per-triangle edge matrices + tile bins (all vectorized XLA)."""
+    vp = jnp.asarray(view_proj, jnp.float32)
+
+    # clip_i = vp @ [p, 1]
+    def tf(p):
+        return p @ vp[:, :3].T + vp[:, 3]
+
+    c0 = tf(v0)   # (T,4) rows of (x,y,z,w) clip coords
+    c1 = tf(v1)
+    c2 = tf(v2)
+
+    # 2D homogeneous rows m_i = (x_i, y_i, w_i)
+    r0 = jnp.stack([c0[:, 0], c0[:, 1], c0[:, 3]], axis=-1)
+    r1 = jnp.stack([c1[:, 0], c1[:, 1], c1[:, 3]], axis=-1)
+    r2 = jnp.stack([c2[:, 0], c2[:, 1], c2[:, 3]], axis=-1)
+    # cofactor rows: lambda_i(p) = cof_i . (x_ndc, y_ndc, 1)
+    cof0 = jnp.cross(r1, r2)
+    cof1 = jnp.cross(r2, r0)
+    cof2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * cof0, axis=-1)
+
+    # Conservative screen AABB -> tile span. Fully-in-front triangles
+    # project exactly; any triangle touching w <= eps spans the full screen.
+    eps_w = 1e-6
+    w_all = jnp.stack([c0[:, 3], c1[:, 3], c2[:, 3]], axis=-1)
+    in_front = jnp.all(w_all > eps_w, axis=-1)
+    safe_w = jnp.maximum(w_all, eps_w)
+    xs = jnp.stack([c0[:, 0], c1[:, 0], c2[:, 0]], axis=-1) / safe_w
+    ys = jnp.stack([c0[:, 1], c1[:, 1], c2[:, 1]], axis=-1) / safe_w
+    # ndc -> pixel
+    px = (xs * 0.5 + 0.5) * width
+    py = (1.0 - (ys * 0.5 + 0.5)) * height
+    x_min = jnp.where(in_front, jnp.min(px, axis=-1), 0.0)
+    x_max = jnp.where(in_front, jnp.max(px, axis=-1), jnp.float32(width))
+    y_min = jnp.where(in_front, jnp.min(py, axis=-1), 0.0)
+    y_max = jnp.where(in_front, jnp.max(py, axis=-1), jnp.float32(height))
+
+    degenerate = jnp.abs(det) < 1e-18
+    tx0 = jnp.clip(jnp.floor(x_min / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(x_max / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(y_min / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(y_max / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    offscreen = (x_max < 0) | (x_min > width) | (y_max < 0) | (y_min > height)
+    cull = degenerate | offscreen
+
+    # rows (T,16): cof (9), w (3), id (1), pad
+    tcount = v0.shape[0]
+    rows = jnp.concatenate([
+        cof0, cof1, cof2,
+        w_all,
+        jnp.arange(tcount, dtype=jnp.float32)[:, None],
+        jnp.zeros((tcount, 3), jnp.float32),
+    ], axis=-1)
+
+    # tile overlap mask (tiles, T)
+    tiles = tiles_x * tiles_y
+    t_ids = jnp.arange(tiles, dtype=jnp.int32)
+    tyi = t_ids // tiles_x
+    txi = t_ids % tiles_x
+    overlap = ((txi[:, None] >= tx0[None, :]) & (txi[:, None] <= tx1[None, :]) &
+               (tyi[:, None] >= ty0[None, :]) & (tyi[:, None] <= ty1[None, :]) &
+               ~cull[None, :])
+
+    counts_full = jnp.sum(overlap, axis=1).astype(jnp.int32)
+
+    def tile_cands(row):
+        return jnp.nonzero(row, size=RASTER_K, fill_value=tcount)[0]
+
+    cands = jax.vmap(tile_cands)(overlap).astype(jnp.int32)     # (tiles, K)
+    counts = jnp.minimum(counts_full, RASTER_K)
+    overflowed = jnp.sum((counts_full > RASTER_K).astype(jnp.int32))
+    # gather candidate rows; fill rows (idx == tcount) get id -1
+    rows_pad = jnp.concatenate(
+        [rows, jnp.full((1, 16), -1.0, jnp.float32)], axis=0)
+    cand_rows = rows_pad[cands]                                 # (tiles, K, 16)
+    return cand_rows, counts, overflowed
+
+
+def _raster_kernel(count_ref, cand_ref, prevw_ref, id_out, b1_out, b2_out,
+                   w_out, *, width, height, tiles_x):
+    tile = pl.program_id(0)
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+    px = (tx * TILE_W +
+          jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
+    py = (ty * TILE_H +
+          jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+    x = (px + 0.5) * (2.0 / width) - 1.0
+    y = 1.0 - (py + 0.5) * (2.0 / height)
+
+    prev_w = prevw_ref[0]
+    count = count_ref[tile]
+
+    zn0 = jnp.full((TILE_H, TILE_W), BIG, jnp.float32)     # depth numerator
+    zd0 = jnp.ones((TILE_H, TILE_W), jnp.float32)          # depth denominator
+    id0 = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    l10 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    l20 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    def body(k, carry):
+        zn, zd, tid, l1, l2 = carry
+        row = cand_ref[0, pl.ds(k, 1), :]
+
+        def s(i):
+            return row[0, i]
+
+        lam0 = s(0) * x + s(1) * y + s(2)
+        lam1 = s(3) * x + s(4) * y + s(5)
+        lam2 = s(6) * x + s(7) * y + s(8)
+        sig = lam0 + lam1 + lam2
+        flip = jnp.where(sig < 0, -1.0, 1.0)
+        lam0 = lam0 * flip
+        lam1 = lam1 * flip
+        lam2 = lam2 * flip
+        sig = sig * flip
+        # sum_i lambda_i w_i == det(m) identically; evaluating it from the
+        # per-pixel FLIPPED lambdas folds the orientation flip in, so the
+        # fragment view depth is detp / sig and detp > 0 <=> in front.
+        detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
+
+        inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) & \
+            (sig > 1e-20) & (s(12) >= 0.0)
+        front = detp > 0.0
+        # depth = detp / sig; nearest wins: detp*zd < zn*sig (all positive)
+        nearer = detp * zd < zn * sig
+        # depth peel: strictly behind the previous layer's view depth
+        behind_prev = detp > prev_w * sig
+        win = inside & front & nearer & behind_prev
+        zn = jnp.where(win, detp, zn)
+        zd = jnp.where(win, sig, zd)
+        tid = jnp.where(win, s(12), tid)
+        l1 = jnp.where(win, lam1, l1)
+        l2 = jnp.where(win, lam2, l2)
+        return zn, zd, tid, l1, l2
+
+    zn, zd, tid, l1, l2 = jax.lax.fori_loop(
+        0, count, body, (zn0, zd0, id0, l10, l20))
+
+    inv = 1.0 / zd
+    id_out[0] = tid.astype(jnp.int32)
+    b1_out[0] = l1 * inv
+    b2_out[0] = l2 * inv
+    w_out[0] = jnp.where(tid >= 0, zn * inv, BIG)
+
+
+def rasterize(v0, v1, v2, view_proj, cam_pos, width: int, height: int,
+              prev_w=None, interpret: bool = False) -> RasterHits:
+    """Rasterize world-space triangles -> per-pixel hit records.
+
+    Args:
+      v0/v1/v2: (T,3) world-space triangle vertices (original tri order —
+        returned ``tri`` ids index these directly).
+      view_proj: (4,4) P @ V.
+      cam_pos: (3,) camera position (for ray-t resolve).
+      prev_w: optional (H*W,) view depth from a previous layer — rasterizes
+        the nearest fragment strictly behind it (depth peeling).
+
+    Returns RasterHits with flat scanline-ordered (H*W,) arrays.
+    """
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    tiles = tiles_x * tiles_y
+
+    cand_rows, counts, overflowed = _setup(v0, v1, v2, view_proj,
+                                           width, height, tiles_x, tiles_y)
+
+    if prev_w is None:
+        prev_tiles = jnp.zeros((tiles, TILE_H, TILE_W), jnp.float32)
+    else:
+        img = jnp.asarray(prev_w, jnp.float32).reshape(height, width)
+        img = jnp.pad(img, ((0, tiles_y * TILE_H - height),
+                            (0, tiles_x * TILE_W - width)),
+                      constant_values=BIG)
+        prev_tiles = img.reshape(tiles_y, TILE_H, tiles_x, TILE_W)
+        prev_tiles = prev_tiles.transpose(0, 2, 1, 3).reshape(
+            tiles, TILE_H, TILE_W)
+
+    kernel = partial(_raster_kernel, width=width, height=height,
+                     tiles_x=tiles_x)
+    tile_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tid, b1, b2, w = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            # whole counts array in SMEM, indexed by program id (Mosaic
+            # requires rank-1 blocks to cover the array or tile by 128)
+            pl.BlockSpec((tiles,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, RASTER_K, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, TILE_H, TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, TILE_H, TILE_W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(counts, cand_rows, prev_tiles)
+
+    def untile(a):
+        img = a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H,
+                                                tiles_x * TILE_W)
+        return img[:height, :width].reshape(-1)
+
+    tid = untile(tid)
+    b1 = untile(b1)
+    b2 = untile(b2)
+    w = untile(w)
+
+    found = tid >= 0
+    safe = jnp.maximum(tid, 0)
+    b0 = 1.0 - b1 - b2
+    p_world = (b0[:, None] * v0[safe] + b1[:, None] * v1[safe] +
+               b2[:, None] * v2[safe])
+    t = jnp.linalg.norm(p_world - jnp.asarray(cam_pos, jnp.float32), axis=-1)
+    t = jnp.where(found, t, BIG)
+    return RasterHits(t=t, tri=jnp.where(found, tid, -1), u=b1, v=b2,
+                      found=found, w_depth=w, overflow=overflowed)

@@ -82,18 +82,33 @@ class DemoScene:
         """Assemble the scene. The build phase runs on the LOCAL CPU
         backend: it is hundreds of small eager array ops, each of which
         costs a full dispatch round trip on a remote/tunneled TPU
-        (measured 170-300 s vs ~5 s local). The resulting arrays transfer
-        to the accelerator on first jit use."""
+        (measured 170-300 s vs ~5 s local). The finished arrays then move
+        to the accelerator in ONE bulk transfer: jitted frame programs
+        close over the geometry (texture_usage needs it concrete), and a
+        closure-captured array that is committed to the CPU device gets
+        embedded as a program literal — megabyte literals stall the axon
+        server's compile for minutes (measured: 8 MB constant -> >9 min;
+        same program with device-resident capture -> ~30 s)."""
         import contextlib
         import jax
         ctx = contextlib.nullcontext()
-        if jax.default_backend() != "cpu":
+        on_accel = jax.default_backend() != "cpu"
+        if on_accel:
             try:
                 ctx = jax.default_device(jax.devices("cpu")[0])
             except RuntimeError:
-                pass
+                on_accel = False
         with ctx:
-            return self._build_impl()
+            scene = self._build_impl()
+        if on_accel:
+            dev = jax.devices()[0]
+            scene = jax.tree.map(
+                lambda x: jax.device_put(x, dev) if isinstance(x, jax.Array)
+                else x, scene)
+            # the stepper closes over its own arrays (collision soup, pose
+            # bank ...) — move those too
+            scene["stepper"] = scene["stepper"].device_put(dev)
+        return scene
 
     def _build_impl(self):
         wb = WorldBuilder()

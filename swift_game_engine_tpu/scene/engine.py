@@ -99,17 +99,18 @@ class Engine:
                                     method="bilinear")
 
         @jax.jit
-        def _render_rt(transforms, palettes, ivp, cam_pos):
+        def _render_rt(transforms, palettes, ivp, vp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
             img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
                                   max_layers=max_layers,
-                                  shadow_layers=shadow_layers)
+                                  shadow_layers=shadow_layers, view_proj=vp)
             return _upscale(img)
 
         @jax.jit
-        def _render_raster(transforms, palettes, ivp, cam_pos):
+        def _render_raster(transforms, palettes, ivp, vp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
-            return _upscale(render_frame_raster(geo, fg, ivp, cam_pos, rw, rh))
+            return _upscale(render_frame_raster(geo, fg, ivp, cam_pos, rw, rh,
+                                                view_proj=vp))
 
         comp = jax.jit(lambda img, exposure: composite_frame(img, exposure, True))
 
@@ -121,7 +122,8 @@ class Engine:
 
         def rt_pass(res):
             return {"rt_output": render_fn(res["transforms"], res["palettes"],
-                                           res["ivp"], res["cam_pos"])}
+                                           res["ivp"], res["vp"],
+                                           res["cam_pos"])}
 
         def composite_pass(res):
             img = res["rt_output"]
@@ -131,7 +133,7 @@ class Engine:
 
         self.graph.add_pass(RenderPass("rt", rt_pass,
                                        reads=("transforms", "palettes", "ivp",
-                                              "cam_pos"),
+                                              "vp", "cam_pos"),
                                        writes=("rt_output",)))
         self.graph.add_pass(RenderPass("composite", composite_pass,
                                        reads=("rt_output", "exposure"),
@@ -152,7 +154,7 @@ class Engine:
 
         @jax.jit
         def _fused(state, vel, yaw, has_yaw, jump, dodge, n_substeps, alpha,
-                   ivp, cam_pos, cam_world, exposure):
+                   ivp, vp, cam_pos, cam_world, exposure):
             state = state._replace(
                 intent_vel=state.intent_vel.at[e].set(vel),
                 intent_yaw=state.intent_yaw.at[e].set(yaw),
@@ -168,13 +170,14 @@ class Engine:
             if path == "rt":
                 img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos,
                                       rw, rh, max_layers=max_layers,
-                                      shadow_layers=shadow_layers)
+                                      shadow_layers=shadow_layers,
+                                      view_proj=vp)
                 img = _upscale(img)
                 if tone_on:
                     img = composite_frame(img, exposure, True)
             else:
                 img = _upscale(render_frame_raster(geo, fg, ivp, cam_pos,
-                                                   rw, rh))
+                                                   rw, rh, view_proj=vp))
             u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             prev = chunk_local_to_world(state.wp_prev_chunk[e],
                                         state.wp_prev_local[e])
@@ -278,8 +281,9 @@ class Engine:
         cam_world = self.camera.world_position.astype(np.float32)
         transforms, palettes = self.stepper.extract(self.state, alpha, cam_world)
         ivp = self.camera.inv_view_proj(self.rt_size[0], self.rt_size[1])
+        vp = self.camera.view_proj(self.rt_size[0], self.rt_size[1])
         res = self.graph.execute(dict(
-            transforms=transforms, palettes=palettes, ivp=ivp,
+            transforms=transforms, palettes=palettes, ivp=ivp, vp=vp,
             cam_pos=jnp.asarray(self.camera.position),
             exposure=jnp.float32(self.tone_mapping_exposure)))
         return res["view"]
@@ -329,6 +333,7 @@ class Engine:
         p = snap[0:3] + (snap[3:6] - snap[0:3]) * alpha
         self.input.update_camera(self.camera, p)
         ivp = self.camera.inv_view_proj(self.rt_size[0], self.rt_size[1])
+        vp = self.camera.view_proj(self.rt_size[0], self.rt_size[1])
         cam_world = self.camera.world_position.astype(np.float32)
 
         # All args are host numpy/python values: a single transfer rides the
@@ -342,6 +347,7 @@ class Engine:
             bool(intent["jump_requested"]),
             bool(intent["dodge_requested"]),
             np.int32(n), np.float32(alpha), np.asarray(ivp, np.float32),
+            np.asarray(vp, np.float32),
             np.asarray(self.camera.position, np.float32),
             np.asarray(cam_world, np.float32),
             np.float32(self.tone_mapping_exposure))

@@ -322,6 +322,31 @@ class Stepper:
             palettes=palettes, pose_phase=pose_phase,
         )
 
+    def device_put(self, dev):
+        """Return a copy with every captured jax.Array moved to ``dev``.
+
+        Scene assembly runs on the CPU backend; jitted programs close over
+        the stepper's arrays (collision soup, pose bank, masks), and a
+        CPU-committed capture becomes a program literal — megabyte literals
+        stall the axon server compile (see DemoScene.build). One bulk move
+        keeps the captures device-resident.
+        """
+        import copy
+        import jax as _jax
+
+        def move(t):
+            return _jax.tree.map(
+                lambda x: _jax.device_put(x, dev)
+                if isinstance(x, _jax.Array) else x, t)
+
+        new = copy.copy(self)
+        for k, v in vars(self).items():
+            if k == "_substep":
+                continue
+            setattr(new, k, move(v))
+        new._substep = _jax.jit(new._substep_impl)
+        return new
+
     def substep(self, state: WorldState, dt: float) -> WorldState:
         return self._substep(state, dt)
 

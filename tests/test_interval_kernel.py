@@ -20,7 +20,7 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 CODE = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["SGE_RT_INTERVAL"] = "1"
+os.environ["SGE_RT_INTERVAL"] = os.environ.get("TEST_INTERVAL", "1")
 os.environ["SGE_RT_BLOCK"] = "1024"
 import numpy as np
 import jax.numpy as jnp
@@ -82,10 +82,21 @@ print("OK")
 """
 
 
-def test_interval_kernel_parity():
+def _run(interval: str):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    env["TEST_INTERVAL"] = interval
     proc = subprocess.run([sys.executable, "-c", CODE], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr + proc.stdout
     assert "OK" in proc.stdout
+
+
+def test_interval_kernel_parity():
+    _run("1")
+
+
+def test_ordered_kernel_parity():
+    """The default production kernel (_kernel_smem_ordered: keyed stack,
+    lazy stale skip, leaf any-hit gate) against the same brute force."""
+    _run("0")
