@@ -102,6 +102,21 @@ def main():
     log(f"frames: {fps:.3f} fps @ {width}x{height} ({wall/frames*1000:.0f} ms/frame, "
         f"{rays_per_s:.2f} Mprimary-rays/s, path={path})")
 
+    # 1080p datapoint (secondary, every round): the north-star resolution.
+    if os.environ.get("BENCH_1080", "1") == "1" and (width, height) != (1920, 1080):
+        eng1080 = Engine(scene, width=1920, height=1080, path=path,
+                         max_layers=layers, shadow_layers=shadow_layers,
+                         pipeline_depth=pipeline)
+        for i in range(pipeline + 1):  # compile + pipeline fill
+            eng1080.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
+        n1080 = max(frames // 2, 3)
+        t0 = time.time()
+        for i in range(n1080):
+            eng1080.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
+        w1080 = time.time() - t0
+        log(f"1080p: {n1080/w1080:.3f} fps ({w1080/n1080*1000:.0f} ms/frame, "
+            f"path={path})")
+
     vs = fps * (px / (1920.0 * 1080.0)) / 60.0
     print(json.dumps({
         "metric": f"demo_{path}_fps_{width}x{height}",

@@ -1039,6 +1039,234 @@ def shadow_prepass_available(rows) -> bool:
     return _USE_SMEM and rows.shape[0] <= _SMEM_MAX_NODES
 
 
+# ---------------------------------------------------------------------------
+# Shared-direction shadow-factor kernel.
+#
+# Every shadow ray in a frame points at the same directional light
+# (reference shades shadows for light 0 only, RayTracing.metalinc:332-372),
+# so the direction-dependent half of Moller-Trumbore can be hoisted out of
+# the kernel entirely: with fixed direction L,
+#   u = f * dot(P - a, cross(L, e2))   =  dot(P, g1) - c1
+#   v = f * dot(P - a, cross(e1, L))   =  dot(P, g2) - c2
+#   t = f * dot(P - a, cross(e1, e2))  =  dot(P, g3) - c3
+# (f = 1 / dot(e1, cross(L, e2))), i.e. each slot test is THREE dot
+# products of the ray origin against precomputed per-triangle constants —
+# ~9 FMAs instead of the ~35-op general intersection.
+#
+# The kernel also replaces the whole alpha-filter layer loop (an any-hit
+# prepass plus up to shadow_layers closest-hit walks) with ONE walk that
+# keeps, per lane, the nearest opaque t and the n_slots nearest translucent
+# (t, id) pairs via an in-register insertion network. The caller applies
+# the exact reference layer semantics (alpha product, <=0.02 early-out,
+# layer cap) as cheap elementwise XLA on those records.
+# ---------------------------------------------------------------------------
+
+# Per-slot constants: g1(3) g2(3) g3(3) c(3); ids appended after all slots.
+SHADOW_SLOT_F = 12
+SHADOW_ROW_W = SHADOW_SLOT_F * SLOT_N + SLOT_N
+
+
+def build_shadow_rows(rows, l):
+    """Per-frame XLA precompute for fixed ray direction ``l`` (unit, toward
+    the light): kernel rows -> (header (M*8,), leaf srows (Lp, SHADOW_ROW_W)).
+
+    The slot constants are stored for LEAF nodes only (interior rows carry
+    no triangles): every builder in render.bvh emits strictly binary trees,
+    so leaves <= (M+1)//2 — a static bound that halves the kernel's VMEM
+    footprint (the full-M table at lane-padded width 256 alone exceeds the
+    ~16 MB scoped budget at demo node counts). The compact leaf index is
+    encoded into the shadow header's leaf field: header[7] = leaf_idx + 1
+    for leaves (still > 0.5), 0 for interior."""
+    m = rows.shape[0]
+    is_leaf = rows[:, 7] > 0.5
+    lp = ((m + 1) // 2 + 7) // 8 * 8
+    leaf_nodes = jnp.nonzero(is_leaf, size=lp, fill_value=0)[0]
+    leaf_rows = rows[leaf_nodes]
+    header = rows[:, :8]
+    leaf_rank = jnp.cumsum(is_leaf.astype(jnp.float32))
+    header = header.at[:, 7].set(jnp.where(is_leaf, leaf_rank, 0.0))
+
+    tri = leaf_rows[:, 8:8 + 9 * SLOT_N].reshape(lp, SLOT_N, 9)
+    a = tri[..., 0:3]
+    e1 = tri[..., 3:6]
+    e2 = tri[..., 6:9]
+    ids = leaf_rows[:, 8 + 9 * SLOT_N: 8 + 10 * SLOT_N]
+
+    lv = jnp.broadcast_to(jnp.asarray(l, jnp.float32), e2.shape)
+    h = jnp.cross(lv, e2)
+    det = jnp.sum(e1 * h, axis=-1)
+    ok = jnp.abs(det) >= EPS
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    g1 = h * f[..., None]
+    g2 = jnp.cross(e1, lv) * f[..., None]
+    g3 = jnp.cross(e1, e2) * f[..., None]
+    c = jnp.stack([jnp.sum(a * g1, -1), jnp.sum(a * g2, -1),
+                   jnp.sum(a * g3, -1)], axis=-1)
+    slot = jnp.concatenate([g1, g2, g3, c], axis=-1)      # (Lp, SLOT_N, 12)
+    ids = jnp.where(ok, ids, -1.0)
+    srows = jnp.concatenate([slot.reshape(lp, SHADOW_SLOT_F * SLOT_N), ids],
+                            axis=-1)
+    return header.reshape(-1), srows
+
+
+def _kernel_shadow_factor(header_ref, dir_ref, srows_ref, ox_ref, oy_ref,
+                          oz_ref, tlim_ref, topq_out, ts_out, ids_out, *,
+                          n_slots: int):
+    """One skip-link walk -> per lane: nearest opaque t + the ``n_slots``
+    nearest translucent (t, id) pairs (sorted ascending by construction).
+
+    Each triangle lives in exactly one leaf and every node is visited at
+    most once, so the insertion network can never double-insert. The lane
+    prune bound is min(t_lim, t_opaque, last translucent slot): hits beyond
+    it can change nothing."""
+    px = ox_ref[0]
+    py = oy_ref[0]
+    pz = oz_ref[0]
+    t_lim = tlim_ref[0]
+
+    big = jnp.full(px.shape, BIG, jnp.float32)
+    # inactive lanes (t_lim <= 0) get bound 0 so no box ever passes
+    topq0 = jnp.where(t_lim <= 0.0, 0.0, big)
+    init = (jnp.int32(0), topq0) + tuple(big for _ in range(n_slots)) + \
+        tuple(jnp.full(px.shape, -1.0, jnp.float32) for _ in range(n_slots))
+
+    inv_x = dir_ref[0]
+    inv_y = dir_ref[1]
+    inv_z = dir_ref[2]
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node = c[0]
+        t_opq = c[1]
+        ts = list(c[2:2 + n_slots])
+        ids = list(c[2 + n_slots:])
+
+        tx0 = (header_ref[node * 8 + 0] - px) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - px) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - py) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - py) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - pz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - pz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        bound = jnp.minimum(jnp.minimum(t_lim, t_opq), ts[n_slots - 1])
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bound)
+        any_hit = jnp.any(box_hit)
+
+        is_leaf = header_ref[node * 8 + 7] > 0.5
+
+        def do_leaf(args):
+            t_opq = args[0]
+            ts = list(args[1:1 + n_slots])
+            ids = list(args[1 + n_slots:])
+            # shadow header field 7 = compact leaf index + 1 (see
+            # build_shadow_rows); srows holds leaf rows only.
+            leaf_slot = header_ref[node * 8 + 7].astype(jnp.int32) - 1
+            row = srows_ref[pl.ds(leaf_slot, 1), :]
+
+            def s(k):
+                return row[0, k]
+
+            for j in range(SLOT_N):
+                base = SHADOW_SLOT_F * j
+                tri_id = row[0, SHADOW_SLOT_F * SLOT_N + j]
+                u = px * s(base + 0) + py * s(base + 1) + pz * s(base + 2) \
+                    - s(base + 9)
+                v = px * s(base + 3) + py * s(base + 4) + pz * s(base + 5) \
+                    - s(base + 10)
+                t = px * s(base + 6) + py * s(base + 7) + pz * s(base + 8) \
+                    - s(base + 11)
+                hit = (tri_id >= 0) & (u >= 0) & (u <= 1) & (v >= 0) & \
+                    (u + v <= 1) & (t > 1e-4) & (t < t_lim) & box_hit
+                opaque = tri_id == jnp.floor(tri_id)
+                t_opq = jnp.where(hit & opaque, jnp.minimum(t_opq, t), t_opq)
+                ct = jnp.where(hit & ~opaque, t, BIG)
+                cid = jnp.where(hit & ~opaque, tri_id, -1.0)
+                for k in range(n_slots):
+                    win = ct < ts[k]
+                    nt = jnp.where(win, ct, ts[k])
+                    nid = jnp.where(win, cid, ids[k])
+                    ct, cid = (jnp.where(win, ts[k], ct),
+                               jnp.where(win, ids[k], cid))
+                    ts[k], ids[k] = nt, nid
+            return (t_opq,) + tuple(ts) + tuple(ids)
+
+        out = jax.lax.cond(is_leaf & any_hit, do_leaf, lambda a: a,
+                           (t_opq,) + tuple(ts) + tuple(ids))
+        t_opq = out[0]
+        ts = list(out[1:1 + n_slots])
+        ids = list(out[1 + n_slots:])
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        node = jnp.where(descend, node + 1,
+                         header_ref[node * 8 + 6].astype(jnp.int32))
+        return (node, t_opq) + tuple(ts) + tuple(ids)
+
+    out = jax.lax.while_loop(cond, body, init)
+    topq_out[0] = out[1]
+    for k in range(n_slots):
+        ts_out[0, k] = out[2 + k]
+        ids_out[0, k] = out[2 + n_slots + k]
+
+
+def trace_shadow_factor(shadow_rows, l, o, t_limit,
+                        n_slots: int = 4, interpret: bool = False):
+    """Shared-direction shadow records for a flat origin batch.
+
+    ``shadow_rows`` is build_shadow_rows' (header, leaf srows) pair.
+    Returns (t_opq (N,), ts (N, n_slots), ids (N, n_slots) float with the
+    translucent +0.5 marker still applied). Callers must check
+    `shadow_prepass_available(rows)`."""
+    header, srows = shadow_rows
+    n = o.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
+        t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
+    nb = o.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb, _SUB, 128)
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    lv = jnp.asarray(l, jnp.float32)
+    inv_dir = safe_inv(lv)
+    rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+            comp(jnp.asarray(t_limit, jnp.float32))]
+    node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((1, n_slots, _SUB, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    topq, ts, ids = pl.pallas_call(
+        partial(_kernel_shadow_factor, n_slots=n_slots),
+        grid=(nb,),
+        in_specs=[smem_spec, smem_spec, node_spec] + [ray_spec] * 4,
+        out_specs=(ray_spec, slot_spec, slot_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(header, inv_dir, srows, *rays)
+    topq = topq.reshape(-1)[:n]
+    ts = ts.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    ids = ids.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    return topq, ts, ids
+
+
 def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmax_ref, t_out, tri_out):
     ox = ox_ref[0]

@@ -760,10 +760,15 @@ class CharacterPipeline:
     """Batched kinematic character mover."""
 
     def __init__(self, gravity=(0.0, -98.0, 0.0), max_slide_iterations: int = 4,
-                 depen_iterations: int = 4):
+                 depen_iterations: int = 4, broadphase_cap: int = 256):
         self.gravity = jnp.asarray(gravity, jnp.float32)
         self.max_slide_iterations = max_slide_iterations
         self.depen_iterations = depen_iterations
+        # Broadphase candidate lists (CollisionQuery.swift:496-707 analog):
+        # when the soup exceeds this many rows, each agent's queries run
+        # over a gathered nearest-``cap`` candidate sub-soup instead of the
+        # full set (Q.gather_candidates). <=0 disables.
+        self.broadphase_cap = broadphase_cap
 
     def step(self, soup: TriangleSoup, position, velocity,
              state: ControllerState, params: ControllerParams,
@@ -779,7 +784,7 @@ class CharacterPipeline:
                                  half_height=params.half_height,
                                  solid=params.agent_solid & params.active)
 
-        def single(idx, pos, vel, st, pr):
+        def single(idx, pos, vel, st, pr, soup):
             params_i = dict(radius=pr["radius"], half_height=pr["half_height"],
                             skin_width=pr["skin_width"],
                             ground_snap_skin=pr["ground_snap_skin"],
@@ -817,9 +822,28 @@ class CharacterPipeline:
                        m_tri=state.manifold_tri, m_normal=state.manifold_normal,
                        m_frames=state.manifold_frames)
         pr_dict = params._asdict()
+
+        cap = self.broadphase_cap
+        if 0 < cap < soup.v0.shape[0]:
+            # Conservative per-substep motion bound: integrate + slide can
+            # move at most |v + g*dt|*dt; ground probes reach snap/fall
+            # distances below and sweep-step above; +skin and a platform
+            # margin (platforms both carry agents and move toward them).
+            speed = jnp.linalg.norm(
+                velocity + self.gravity[None] * dt, axis=-1)
+            reach = speed * dt + jnp.maximum(params.snap_distance,
+                                             params.fall_probe_distance) \
+                + params.ground_sweep_max_step + params.skin_width + 1.0
+            soup_arg, _bp_count = Q.gather_candidates(
+                soup, position, params.half_height, params.radius,
+                reach, cap)
+            soup_axis = 0
+        else:
+            soup_arg, soup_axis = soup, None
+
         new_pos, new_vel, out = jax.vmap(
-            single, in_axes=(0, 0, 0, 0, 0))(jnp.arange(n), position, velocity,
-                                             st_dict, pr_dict)
+            single, in_axes=(0, 0, 0, 0, 0, soup_axis))(
+                jnp.arange(n), position, velocity, st_dict, pr_dict, soup_arg)
         new_state = ControllerState(
             grounded=out["grounded"], grounded_near=out["grounded_near"],
             ground_normal=out["ground_normal"], ground_tri=out["ground_tri"],

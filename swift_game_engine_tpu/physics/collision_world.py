@@ -30,7 +30,13 @@ LAYER_DEFAULT = np.uint32(1)
 
 
 class TriangleSoup(NamedTuple):
-    """World-space triangle arrays (T padded)."""
+    """World-space triangle arrays (T padded).
+
+    ``tri_id`` carries GLOBAL triangle ids: the full soup uses arange, and
+    per-agent candidate sub-soups (see queries.gather_candidates) carry the
+    ids of the gathered rows — query results always report global ids, so
+    tri identity survives across substeps regardless of candidate order
+    (the manifold cache and ground-tri change detection compare them)."""
 
     v0: jnp.ndarray       # (T,3)
     v1: jnp.ndarray       # (T,3)
@@ -41,6 +47,7 @@ class TriangleSoup(NamedTuple):
     flatten: jnp.ndarray  # (T,) bool
     layer: jnp.ndarray    # (T,) uint32
     valid: jnp.ndarray    # (T,) bool
+    tri_id: jnp.ndarray   # (T,) int32 global triangle id
 
     @property
     def aabb(self):
@@ -161,4 +168,5 @@ def transform_soup(local: LocalTriangles, transforms,
         normal=triangle_normal(v0, v1, v2),
         mu_s=local.mu_s, mu_k=local.mu_k, flatten=local.flatten,
         layer=local.layer, valid=valid,
+        tri_id=jnp.arange(v0.shape[0], dtype=jnp.int32),
     )

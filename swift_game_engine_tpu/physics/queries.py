@@ -100,6 +100,50 @@ def _layer_mask(soup: TriangleSoup, mask):
     return soup.valid & ((soup.layer & jnp.uint32(mask)) != 0)
 
 
+def gather_candidates(soup: TriangleSoup, center, half_height, radius,
+                      reach, cap: int):
+    """Broadphase candidate lists: per-agent padded sub-soups.
+
+    The reference bounds narrowphase work with a per-query BVH descent
+    (CollisionQuery.swift:496-707, leaf <= 4); the TPU analog is a batched
+    AABB-vs-AABB prefilter gathered into FIXED-CAPACITY per-agent triangle
+    lists, so every downstream cast/overlap runs over (N, cap) instead of
+    (N, T).  Selection is nearest-first (squared centroid distance), so on
+    overflow the dropped triangles are the farthest — graceful degradation;
+    ``overflow`` reports agents whose candidate count exceeded ``cap``.
+
+    Args:
+      center (N,3): agent capsule centers.
+      half_height, radius, reach (N,): capsule dims + conservative motion
+        bound (travel + probes + skin) the caller guarantees per substep.
+    Returns (sub_soup with leading axis N and row count cap, count (N,)).
+    """
+    tmin, tmax = soup.aabb                      # (T,3)
+    ext = jnp.stack([radius + reach,
+                     half_height + radius + reach,
+                     radius + reach], axis=-1)  # (N,3)
+    qmin = center - ext
+    qmax = center + ext
+    overlap = jnp.all((qmin[:, None, :] <= tmax[None]) &
+                      (qmax[:, None, :] >= tmin[None]), axis=-1)
+    overlap = overlap & soup.valid[None]        # (N,T)
+    centroid = (soup.v0 + soup.v1 + soup.v2) * (1.0 / 3.0)
+    d2 = jnp.sum((center[:, None, :] - centroid[None]) ** 2, axis=-1)
+    key = jnp.where(overlap, -d2, -BIG)
+    _, idx = jax.lax.top_k(key, cap)            # (N,cap) nearest-first
+    keep = jnp.take_along_axis(overlap, idx, axis=1)
+
+    def g(a):
+        return a[idx]
+
+    sub = TriangleSoup(
+        v0=g(soup.v0), v1=g(soup.v1), v2=g(soup.v2), normal=g(soup.normal),
+        mu_s=g(soup.mu_s), mu_k=g(soup.mu_k), flatten=g(soup.flatten),
+        layer=g(soup.layer), valid=keep, tri_id=g(soup.tri_id))
+    count = jnp.sum(overlap.astype(jnp.int32), axis=1)
+    return sub, count
+
+
 def _cast_prefilter(soup, from_pos, delta, radius, half_height, mask):
     """Swept-AABB prefilter (reference CollisionQuery.swift:1025-1065)."""
     length = jnp.linalg.norm(delta)
@@ -149,7 +193,7 @@ def _cast_select(soup, from_pos, delta, dir, toi, contact, iters,
         normal=normal[best],
         tri_normal=tri_n[best],
         position=tri_p[best],
-        tri_index=jnp.where(best_ok, best.astype(jnp.int32), -1),
+        tri_index=jnp.where(best_ok, soup.tri_id[best], -1),
         mu_s=soup.mu_s[best],
         mu_k=soup.mu_k[best],
         flatten=soup.flatten[best] & best_ok,
@@ -446,7 +490,7 @@ def capsule_overlap_all(soup: TriangleSoup, center, radius, half_height,
         normal=normal[top_idx],
         tri_normal=tri_n[top_idx],
         position=tri_p[top_idx],
-        tri_index=jnp.where(valid, top_idx.astype(jnp.int32), -1),
+        tri_index=jnp.where(valid, soup.tri_id[top_idx], -1),
         valid=valid,
         candidates=jnp.sum(ok.astype(jnp.int32)),
     )
@@ -469,7 +513,7 @@ def raycast(soup: TriangleSoup, origin, direction, max_distance,
         distance=jnp.where(best_ok, t[best], BIG),
         position=origin + direction * t[best],
         normal=n,
-        tri_index=jnp.where(best_ok, best.astype(jnp.int32), -1),
+        tri_index=jnp.where(best_ok, soup.tri_id[best], -1),
         mu_s=soup.mu_s[best],
         mu_k=soup.mu_k[best],
     )

@@ -7,9 +7,11 @@ a procedural 5x7 atlas, top-right, ortho overlay) +
 Game/RenderPasses.swift:79-154 (CompositePass clear-load, UIPass
 load-preserve with alpha blending).
 
-The composite tone map runs in the frame jit; the UI overlay is a host-side
-alpha blit of at most a few hundred pixels onto the fetched frame (the
-reference's UIPass is likewise a separate raster pass over the final target).
+The composite tone map runs in the frame jit; the UI overlay has two forms:
+``overlay_blit_device`` renders the digits INSIDE the fused frame program
+(the reference's UIPass draws digit quads over the final target in-engine),
+and ``FPSOverlay.blit`` remains as a host-side fallback for paths that
+present raw numpy frames.
 """
 
 from __future__ import annotations
@@ -37,6 +39,47 @@ def composite_frame(rt_output, exposure=1.0, tone_map_enabled=True):
     noise = hash12(jnp.stack([gx, gy], axis=-1) * 0.5)
     out = tm + ((noise - 0.5) * (1.0 / 255.0))[..., None]
     return jnp.where(tone_map_enabled, out, rt_output)
+
+
+def overlay_blit_device(u8_img, fps):
+    """Device-side FPS digit overlay (UIPass analog) for the fused frame
+    program: alpha-blend up to three digits top-right of a (H, W, 3) uint8
+    image. ``fps`` is a traced int32; fps < 0 disables the overlay (the
+    with_overlay=False path shares the same compiled program).
+
+    Layout matches FPSOverlaySystem.update (margin from the top-right
+    corner, digits left-to-right most-significant first); positions are
+    traced scalars so 1-3 digit counts share one executable
+    (FPSOverlaySystem.swift:11-96)."""
+    atlas = np.asarray(pt.digits_atlas().pixels, np.float32)  # (12,80,4)
+    cell_w, cell_h = pt.DIGITS_CELL_W, pt.DIGITS_CELL_H
+    scale = int(FPSOverlay.SCALE)
+    dw, dh = cell_w * scale, cell_h * scale
+    sp = FPSOverlay.SPACING
+    m = FPSOverlay.MARGIN
+    h, w = u8_img.shape[:2]
+    if h < m + dh or w < m + dw:
+        return u8_img
+    fps = jnp.clip(jnp.asarray(fps, jnp.int32), -1, 999)
+    digits = [fps % 10, (fps // 10) % 10, fps // 100]
+    show = [fps >= 0, fps >= 10, fps >= 100]
+    n = 1 + (fps >= 10).astype(jnp.int32) + (fps >= 100).astype(jnp.int32)
+    total = n * dw + (n - 1) * sp
+    x_left = jnp.maximum(m, w - m - total)
+    a_f = jnp.asarray(atlas)
+    out = u8_img
+    for k in range(3):  # k counts digits from the least-significant end
+        xk = x_left + (n - 1 - k) * (dw + sp)
+        cell = jax.lax.dynamic_slice(a_f, (0, digits[k] * cell_w, 0),
+                                     (cell_h, cell_w, 4))
+        cell = jnp.repeat(jnp.repeat(cell, scale, 0), scale, 1)  # NEAREST x2
+        region = jax.lax.dynamic_slice(
+            out, (m, xk, 0), (dh, dw, 3)).astype(jnp.float32)
+        a = cell[..., 3:4] * (1.0 / 255.0)
+        blended = cell[..., :3] * a + region * (1.0 - a)
+        blended = jnp.where(show[k], blended, region).astype(jnp.uint8)
+        out = jax.lax.dynamic_update_slice(out, blended, (m, xk, 0))
+    return out
 
 
 class FPSOverlay:

@@ -88,6 +88,14 @@ _FORCE_JAX_TRAVERSAL = os.environ.get("SGE_JAX_TRAVERSAL", "0") == "1"
 # shadow_layers translucent hits, which the reference's layer cap misses —
 # off by default for exact reference semantics.
 _SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
+# Shared-direction shadow-factor kernel (ops/rt_kernel.trace_shadow_factor):
+# one walk yields the nearest opaque t + the <=shadow_layers nearest
+# translucent hits per lane; the exact reference layer semantics (alpha
+# product, 0.02 early-out, layer cap) are applied as elementwise XLA on
+# those records. Measured on one v5e @960x540 demo frame under an identical
+# probe (examples/prof_isolate.py): 555.7 ms vs 596.9 ms full frame with the
+# per-layer loop.
+_SHADOW_KERNEL = os.environ.get("SGE_SHADOW_KERNEL", "1") == "1"
 # Profiling knob: drop the split-sum specular IBL term.
 _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 
@@ -308,7 +316,8 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
 
 
 def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
-                   bias, active, shadow_layers: int, usage=None):
+                   bias, active, shadow_layers: int, usage=None,
+                   shadow_rows=None):
     """Alpha-filtered shadow ray toward a directional light
     (RayTracing.metalinc:332-372)."""
     l = normalize(-light_dir)
@@ -316,6 +325,42 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         usage = FULL_USAGE
 
     o0 = hit_pos + n * bias[..., None]
+
+    if shadow_rows is not None:
+        # Single-walk shadow records (see ops/rt_kernel shadow-factor
+        # section), then the reference's exact layer semantics elementwise:
+        # hits are processed nearest-first; each translucent layer
+        # multiplies by (1 - alpha); the walk stops at shadow <= 0.02 or
+        # after shadow_layers layers; an opaque hit inside the remaining
+        # layer budget zeroes the factor.
+        from ..ops.rt_kernel import trace_shadow_factor, barycentrics
+        o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
+        t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
+                          jnp.float32(0.0))
+        t_opq, ts, ids = trace_shadow_factor(
+            shadow_rows, l, o_sh, t_lim, n_slots=shadow_layers,
+            interpret=jax.default_backend() != "tpu")
+        shadow = jnp.ones(hit_pos.shape[0])
+        applied = jnp.zeros(hit_pos.shape[0], jnp.int32)
+        for k in range(shadow_layers):
+            tri_k = jnp.floor(ids[:, k]).astype(jnp.int32)
+            t_k = ts[:, k]
+            if usage.base and usage.alpha_tex:
+                t_safe = jnp.where(tri_k >= 0, t_k, 0.0)
+                u_k, v_k, _ = barycentrics(fg.bvh, o_sh,
+                                           jnp.broadcast_to(l, o_sh.shape),
+                                           t_safe, tri_k)
+            else:
+                u_k = v_k = jnp.zeros_like(t_k)
+            a_k = _sample_alpha(geo, tri_k, u_k, v_k, usage)
+            can = active & (tri_k >= 0) & (t_k < t_opq) & (t_k < max_dist) \
+                & (shadow > 0.02)
+            shadow = jnp.where(can, shadow * (1.0 - a_k), shadow)
+            applied = applied + can.astype(jnp.int32)
+        opq_can = active & (t_opq < max_dist) & (shadow > 0.02) & \
+            (applied < shadow_layers)
+        shadow = jnp.where(opq_can, 0.0, shadow)
+        return jnp.where(active, shadow, 1.0)
     act0 = active
     shadow0 = jnp.ones(hit_pos.shape[0])
     if _SHADOW_PREPASS and not _FORCE_JAX_TRAVERSAL:
@@ -367,7 +412,8 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
 @partial(jax.jit, static_argnames=("with_ibl_spec", "shadow_layers", "usage"))
 def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
                cam_pos, ray_o, ray_d, t_hit, tri, u, v, active,
-               with_ibl_spec: bool, shadow_layers: int, usage=None):
+               with_ibl_spec: bool, shadow_layers: int, usage=None,
+               shadow_rows=None):
     """Shade one hit batch. Returns (color, m, n_shade, hit_pos, bias).
 
     Inactive/missed lanes are sanitized (t := 1) and their color forced to 0
@@ -433,7 +479,7 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         if i == 0:
             shadow = _shadow_factor(geo, fg, hit_pos, n, lights.direction[i],
                                     max_dist, bias, gate, shadow_layers,
-                                    usage)
+                                    usage, shadow_rows=shadow_rows)
         else:
             shadow = jnp.ones_like(ndotl)
         brdf = eval_brdf(n, view, jnp.broadcast_to(l, n.shape),
@@ -453,11 +499,18 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     return color, m, n, hit_pos, bias
 
 
-# Primary visibility source for the RT path: "trace" = BVH packet kernel
-# (the reference's intersector semantics), "raster" = the binned tile
-# rasterizer (render.tile_raster) producing the identical hit records —
-# several times cheaper on TPU; all secondary rays (shadows, layers 2+,
-# mirror, refraction) still trace the BVH either way.
+# Primary visibility source for the RT path:
+#   "trace"  — BVH packet kernel (the reference's intersector semantics)
+#   "raster" — binned tile rasterizer (render.tile_raster) for LAYER 1 only;
+#              transparency layers 2+ still trace chunk-compacted
+#              continuation rays (their cost scales with covered pixels)
+#   "peels"  — depth-peeled rasterizer supplies EVERY layer's hit records
+#              (no visibility traces at all; dense per-layer cost)
+# Measured @960x540 on one v5e, heavy view (examples/prof_isolate.py):
+# full peels lose to traced continuations (702 vs 597 ms/frame) because the
+# peel pass is dense over all pixels while traced layers 2/3 compact to the
+# ~20% of lanes still accumulating; single-layer raster primary wins when
+# primary rays dominate. Default chosen by bench measurement.
 _RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "trace")
 
 
@@ -475,19 +528,34 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     perm = jnp.asarray(perm)
 
     primary = None
-    if _RT_PRIMARY == "raster":
-        from .tile_raster import rasterize
+    peels = None
+    if _RT_PRIMARY in ("raster", "peels"):
         if view_proj is None:
             view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
-        hits = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
-                         width, height,
-                         interpret=jax.default_backend() != "tpu")
-        primary = (hits.t[perm], hits.tri[perm], hits.u[perm], hits.v[perm],
-                   hits.found[perm])
+        interp = jax.default_backend() != "tpu"
+    if _RT_PRIMARY == "peels":
+        # Rasterized visibility for layer 1 AND the transparency layers:
+        # layer L's hit record is the depth-peel strictly behind layer L-1
+        # (same surface sequence the traced continuation rays walk — rays
+        # go through pixel centers, so "next hit along the ray" == "next
+        # depth behind the previous fragment"). The BVH only serves shadow
+        # / mirror / refraction rays in this mode.
+        from .tile_raster import rasterize_peeled
+        peels = [(h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
+                  h.found[perm])
+                 for h in rasterize_peeled(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
+                                           view_proj, cam_pos, width, height,
+                                           max_layers, interpret=interp)]
+    elif _RT_PRIMARY == "raster":
+        from .tile_raster import rasterize
+        h = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
+                      width, height, interpret=interp)
+        primary = (h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
+                   h.found[perm])
 
     out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o[perm], ray_d[perm],
                        max_layers, shadow_layers, enable_mirror,
-                       enable_refraction, primary=primary)
+                       enable_refraction, primary=primary, peels=peels)
     out = out[jnp.asarray(inv_perm)]
     gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
                           jnp.arange(height, dtype=jnp.float32))
@@ -498,7 +566,7 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
 
 
 def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
-                 base, mask, color, shadow_layers, usage):
+                 base, mask, color, shadow_layers, usage, shadow_rows=None):
     """One deterministic mirror bounce for the set lanes of ``mask``
     (RayTracing.metalinc:382-542), chunk-compacted."""
     p = mask.shape[0]
@@ -513,7 +581,8 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         rt, rtri, ru, rv, rfound = _trace_batch(fg.bvh, r_o, r_dir, valid)
         r_color, r_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
-            rfound, False, shadow_layers, usage=usage)
+            rfound, False, shadow_layers, usage=usage,
+            shadow_rows=shadow_rows)
         refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
         refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
             + BG_COLOR * (1.0 - refl_alpha)[..., None]
@@ -528,7 +597,8 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
 
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
-                     transmission, ior, found, color, shadow_layers, usage):
+                     transmission, ior, found, color, shadow_layers, usage,
+                     shadow_rows=None):
     """One refraction bounce with IOR eta flip + Fresnel mix for
     transmissive hits (RayTracing.metalinc:544-713), chunk-compacted. The
     refracted direction is computed densely (cheap vector math); only the
@@ -552,7 +622,8 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         ft, ftri, fu, fv, ffound = _trace_batch(fg.bvh, t_o, t_dir_n, valid)
         f_color, f_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
-            ffound, False, shadow_layers, usage=usage)
+            ffound, False, shadow_layers, usage=usage,
+            shadow_rows=shadow_rows)
         refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
         refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
         refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
@@ -572,12 +643,15 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, cam_pos, ray_o, ray_d,
                  max_layers: int = 3, shadow_layers: int = 4,
                  enable_mirror: bool = True, enable_refraction: bool = True,
-                 primary=None):
+                 primary=None, peels=None):
     """Trace + shade a flat ray batch -> (P,3) colors (no dither/reshape).
 
     Layer 1 is a dense full-batch trace + shade (every pixel needs it);
     mirror/refraction bounces and transparency layers 2+ run chunk-compacted
     (see _chunked) so their cost scales with the lanes that need them.
+    With ``peels`` (pre-rasterized per-layer hit records, see render_frame)
+    no layer traces the BVH: layer L shades peel L's records, compacted to
+    the lanes still accumulating.
 
     The shardable core: embarrassingly parallel over rays (parallel.sharding
     partitions this over the device mesh)."""
@@ -587,27 +661,43 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
 
     d = ray_d
 
+    # Per-frame shadow constants for the shared sun direction (light 0 is
+    # the only shadow-casting light, as in the reference). One XLA
+    # precompute shared by every shade call in the frame.
+    shadow_rows = None
+    if _SHADOW_KERNEL and not _FORCE_JAX_TRAVERSAL and \
+            1 <= shadow_layers <= 4:
+        from ..ops.rt_kernel import (shadow_prepass_available,
+                                     build_shadow_rows)
+        if shadow_prepass_available(fg.bvh.rows):
+            l0 = normalize(-lights.direction[0])
+            shadow_rows = build_shadow_rows(fg.bvh.rows, l0)
+
     def shade_layer(o_l, d_l, t, tri, u, v, found, alpha_in):
         """Shade one layer's hits incl. bounces -> (color, contrib, next_o)."""
         color, m, n, hit_pos, bias = _shade_hit(
             geo, fg, ibl, lights, cam, o_l, d_l, t, tri, u, v, found,
-            True, shadow_layers, usage=usage)
+            True, shadow_layers, usage=usage, shadow_rows=shadow_rows)
         if enable_mirror:
             mirror = found & (m["roughness"] <= 0.08) & (m["metallic"] >= 0.8)
             color = _mirror_pass(geo, fg, ibl, lights, cam, d_l, n, hit_pos,
                                  bias, m["metallic"], m["base"], mirror,
-                                 color, shadow_layers, usage)
+                                 color, shadow_layers, usage,
+                                 shadow_rows=shadow_rows)
         if enable_refraction:
             color = _refraction_pass(geo, fg, ibl, lights, cam, d_l, n,
                                      hit_pos, bias, m["base"],
                                      m["transmission"], m["ior"], found,
-                                     color, shadow_layers, usage)
+                                     color, shadow_layers, usage,
+                                     shadow_rows=shadow_rows)
         contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
         next_o = hit_pos + d_l * (bias * 2.0)[..., None]
         return color, contrib, next_o
 
     # ---- layer 1: dense over every ray (or pre-rasterized hit records).
-    if primary is not None:
+    if peels is not None:
+        t, tri, u, v, found = peels[0]
+    elif primary is not None:
         t, tri, u, v, found = primary
     else:
         t, tri, u, v, found = _trace_batch(fg.bvh, ray_o, d, jnp.ones(p, bool))
@@ -618,7 +708,32 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     o = jnp.where(found[..., None], next_o, ray_o)
     live = found
 
-    # ---- layers 2..max_layers: chunk-compacted.
+    # ---- layers 2..max_layers, pre-rasterized: shade peel L's records,
+    # chunk-compacted to lanes still accumulating. Static unroll over the
+    # (small) layer count; an empty layer's chunk loop exits immediately.
+    if peels is not None:
+        for layer in range(1, max_layers):
+            t_l, tri_l, u_l, v_l, f_l = peels[layer]
+            live = live & f_l & (accum_alpha < 0.99)
+
+            def chunk(idx, valid, carry, _t=t_l, _tri=tri_l, _u=u_l,
+                      _v=v_l):
+                accum, accum_alpha = carry
+                safe = jnp.minimum(idx, p - 1)
+                oc = ray_o[safe]
+                dc = d[safe]
+                color, contrib, _ = shade_layer(
+                    oc, dc, _t[safe], _tri[safe], _u[safe], _v[safe],
+                    valid, accum_alpha[safe])
+                accum = accum.at[idx].add(color * contrib[..., None])
+                accum_alpha = accum_alpha.at[idx].add(contrib)
+                return accum, accum_alpha
+
+            accum, accum_alpha = _chunked(live, chunk, (accum, accum_alpha),
+                                          cap=_CHUNK)
+        return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
+
+    # ---- layers 2..max_layers: chunk-compacted re-traces.
     if max_layers > 1:
         def layer_cond(carry):
             _, live, _, accum_alpha, layer = carry

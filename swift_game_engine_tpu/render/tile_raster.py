@@ -47,6 +47,11 @@ TILE_W = 128
 # that frame (counted in the returned stats) — raise SGE_RASTER_K for
 # pathological all-triangles-in-one-tile viewpoints.
 RASTER_K = int(os.environ.get("SGE_RASTER_K", "8192"))
+# Candidate rows processed per loop iteration. The per-candidate vector
+# work (3 edge dots + compares on a 32x128 block) is far below the VPU's
+# issue width, so the loop is overhead-bound; unrolling amortizes it.
+UNROLL = int(os.environ.get("SGE_RASTER_UNROLL", "8"))
+assert RASTER_K % UNROLL == 0
 BIG = np.float32(3.0e38)
 
 
@@ -161,49 +166,200 @@ def _raster_kernel(count_ref, cand_ref, prevw_ref, id_out, b1_out, b2_out,
     l20 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     def body(k, carry):
-        zn, zd, tid, l1, l2 = carry
-        row = cand_ref[0, pl.ds(k, 1), :]
+        # one dynamic sublane load of UNROLL candidate rows, then static
+        # extracts per row; fill rows past ``count`` carry id -1 and fail
+        # the s(12) >= 0 test, so a ragged final group needs no extra mask.
+        rows = cand_ref[0, pl.ds(k * UNROLL, UNROLL), :]
+        for j in range(UNROLL):
+            zn, zd, tid, l1, l2 = carry
 
-        def s(i):
-            return row[0, i]
+            def s(i):
+                return rows[j, i]
 
-        lam0 = s(0) * x + s(1) * y + s(2)
-        lam1 = s(3) * x + s(4) * y + s(5)
-        lam2 = s(6) * x + s(7) * y + s(8)
-        sig = lam0 + lam1 + lam2
-        flip = jnp.where(sig < 0, -1.0, 1.0)
-        lam0 = lam0 * flip
-        lam1 = lam1 * flip
-        lam2 = lam2 * flip
-        sig = sig * flip
-        # sum_i lambda_i w_i == det(m) identically; evaluating it from the
-        # per-pixel FLIPPED lambdas folds the orientation flip in, so the
-        # fragment view depth is detp / sig and detp > 0 <=> in front.
-        detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
+            lam0 = s(0) * x + s(1) * y + s(2)
+            lam1 = s(3) * x + s(4) * y + s(5)
+            lam2 = s(6) * x + s(7) * y + s(8)
+            sig = lam0 + lam1 + lam2
+            flip = jnp.where(sig < 0, -1.0, 1.0)
+            lam0 = lam0 * flip
+            lam1 = lam1 * flip
+            lam2 = lam2 * flip
+            sig = sig * flip
+            # sum_i lambda_i w_i == det(m) identically; evaluating it from
+            # the per-pixel FLIPPED lambdas folds the orientation flip in,
+            # so the fragment view depth is detp / sig and detp > 0 <=> in
+            # front.
+            detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
 
-        inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) & \
-            (sig > 1e-20) & (s(12) >= 0.0)
-        front = detp > 0.0
-        # depth = detp / sig; nearest wins: detp*zd < zn*sig (all positive)
-        nearer = detp * zd < zn * sig
-        # depth peel: strictly behind the previous layer's view depth
-        behind_prev = detp > prev_w * sig
-        win = inside & front & nearer & behind_prev
-        zn = jnp.where(win, detp, zn)
-        zd = jnp.where(win, sig, zd)
-        tid = jnp.where(win, s(12), tid)
-        l1 = jnp.where(win, lam1, l1)
-        l2 = jnp.where(win, lam2, l2)
-        return zn, zd, tid, l1, l2
+            inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) & \
+                (sig > 1e-20) & (s(12) >= 0.0)
+            front = detp > 0.0
+            # depth = detp/sig; nearest wins: detp*zd < zn*sig (positive)
+            nearer = detp * zd < zn * sig
+            # depth peel: strictly behind the previous layer's view depth
+            behind_prev = detp > prev_w * sig
+            win = inside & front & nearer & behind_prev
+            zn = jnp.where(win, detp, zn)
+            zd = jnp.where(win, sig, zd)
+            tid = jnp.where(win, s(12), tid)
+            l1 = jnp.where(win, lam1, l1)
+            l2 = jnp.where(win, lam2, l2)
+            carry = (zn, zd, tid, l1, l2)
+        return carry
 
     zn, zd, tid, l1, l2 = jax.lax.fori_loop(
-        0, count, body, (zn0, zd0, id0, l10, l20))
+        0, (count + UNROLL - 1) // UNROLL, body, (zn0, zd0, id0, l10, l20))
 
     inv = 1.0 / zd
     id_out[0] = tid.astype(jnp.int32)
     b1_out[0] = l1 * inv
     b2_out[0] = l2 * inv
     w_out[0] = jnp.where(tid >= 0, zn * inv, BIG)
+
+
+def _raster_kernel_peeled(count_ref, cand_ref, id_out, b1_out, b2_out,
+                          w_out, *, width, height, tiles_x, layers):
+    """One pass over the tile's candidates keeping the ``layers`` nearest
+    fragments per pixel (insertion network).
+
+    Equivalent to ``layers`` sequential depth-peel passes but reads every
+    candidate row once: each triangle is evaluated once per pixel, so the
+    sequential version's re-win margin is unnecessary — a triangle can
+    occupy at most one slot by construction. Distinct coplanar triangles
+    each get a slot (the traced path's bias-offset continuation rays skip
+    surfaces closer than ~2*bias; no such pair exists in practice — the
+    peel parity test adjudicates)."""
+    tile = pl.program_id(0)
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+    px = (tx * TILE_W +
+          jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
+    py = (ty * TILE_H +
+          jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+    x = (px + 0.5) * (2.0 / width) - 1.0
+    y = 1.0 - (py + 0.5) * (2.0 / height)
+
+    count = count_ref[tile]
+
+    def empty():
+        return (jnp.full((TILE_H, TILE_W), BIG, jnp.float32),
+                jnp.ones((TILE_H, TILE_W), jnp.float32),
+                jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32))
+
+    init = sum((empty() for _ in range(layers)), ())
+
+    def body(k, carry):
+        slots = [list(carry[5 * l:5 * l + 5]) for l in range(layers)]
+        rows = cand_ref[0, pl.ds(k * UNROLL, UNROLL), :]
+        for j in range(UNROLL):
+            def s(i):
+                return rows[j, i]
+
+            lam0 = s(0) * x + s(1) * y + s(2)
+            lam1 = s(3) * x + s(4) * y + s(5)
+            lam2 = s(6) * x + s(7) * y + s(8)
+            sig = lam0 + lam1 + lam2
+            flip = jnp.where(sig < 0, -1.0, 1.0)
+            lam0 = lam0 * flip
+            lam1 = lam1 * flip
+            lam2 = lam2 * flip
+            sig = sig * flip
+            detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
+            inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) & \
+                (sig > 1e-20) & (s(12) >= 0.0) & (detp > 0.0)
+
+            # candidate fragment; invalid lanes carry tid -1
+            czn = detp
+            czd = sig
+            ctid = jnp.where(inside, s(12), -1.0)
+            cl1, cl2 = lam1, lam2
+            for l in range(layers):
+                zn, zd, tid, l1, l2 = slots[l]
+                win = (ctid >= 0.0) & ((tid < 0.0) | (czn * zd < zn * czd))
+                nzn = jnp.where(win, czn, zn)
+                nzd = jnp.where(win, czd, zd)
+                ntid = jnp.where(win, ctid, tid)
+                nl1 = jnp.where(win, cl1, l1)
+                nl2 = jnp.where(win, cl2, l2)
+                # displaced incumbent becomes the candidate for slot l+1
+                czn, czd, ctid, cl1, cl2 = (
+                    jnp.where(win, zn, czn), jnp.where(win, zd, czd),
+                    jnp.where(win, tid, ctid), jnp.where(win, l1, cl1),
+                    jnp.where(win, l2, cl2))
+                slots[l] = [nzn, nzd, ntid, nl1, nl2]
+        return sum((tuple(sl) for sl in slots), ())
+
+    out = jax.lax.fori_loop(0, (count + UNROLL - 1) // UNROLL, body, init)
+    for l in range(layers):
+        zn, zd, tid, l1, l2 = out[5 * l:5 * l + 5]
+        inv = 1.0 / zd
+        id_out[0, l] = tid.astype(jnp.int32)
+        b1_out[0, l] = l1 * inv
+        b2_out[0, l] = l2 * inv
+        w_out[0, l] = jnp.where(tid >= 0, zn * inv, BIG)
+
+
+def rasterize_peeled(v0, v1, v2, view_proj, cam_pos, width: int, height: int,
+                     layers: int, interpret: bool = False):
+    """One-pass depth-peeled rasterization -> list of ``layers`` RasterHits
+    (nearest fragment, second-nearest, ...). Shares all setup/binning work
+    across layers; see _raster_kernel_peeled for the in-kernel insertion."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    tiles = tiles_x * tiles_y
+
+    cand_rows, counts, overflowed = _setup(v0, v1, v2, view_proj,
+                                           width, height, tiles_x, tiles_y)
+
+    kernel = partial(_raster_kernel_peeled, width=width, height=height,
+                     tiles_x=tiles_x, layers=layers)
+    tile_spec = pl.BlockSpec((1, layers, TILE_H, TILE_W),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W),
+                                  jnp.float32)
+    tid, b1, b2, w = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((tiles,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, RASTER_K, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W), jnp.int32),
+            oshape, oshape, oshape,
+        ),
+        interpret=interpret,
+    )(counts, cand_rows)
+
+    def untile(a, l):
+        img = a[:, l].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H,
+                                                tiles_x * TILE_W)
+        return img[:height, :width].reshape(-1)
+
+    cam = jnp.asarray(cam_pos, jnp.float32)
+    outs = []
+    for l in range(layers):
+        tid_l = untile(tid, l)
+        b1_l = untile(b1, l)
+        b2_l = untile(b2, l)
+        w_l = untile(w, l)
+        found = tid_l >= 0
+        safe = jnp.maximum(tid_l, 0)
+        b0 = 1.0 - b1_l - b2_l
+        p_world = (b0[:, None] * v0[safe] + b1_l[:, None] * v1[safe] +
+                   b2_l[:, None] * v2[safe])
+        t = jnp.linalg.norm(p_world - cam, axis=-1)
+        t = jnp.where(found, t, BIG)
+        outs.append(RasterHits(t=t, tri=jnp.where(found, tid_l, -1),
+                               u=b1_l, v=b2_l, found=found, w_depth=w_l,
+                               overflow=overflowed))
+    return outs
 
 
 def rasterize(v0, v1, v2, view_proj, cam_pos, width: int, height: int,

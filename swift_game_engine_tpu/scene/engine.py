@@ -21,7 +21,7 @@ from ..render.camera import Camera
 from ..render.scene_geometry import flatten_frame
 from ..render import rt as RT
 from ..render.raster import render_frame_raster
-from ..render.composite import composite_frame, FPSOverlay
+from ..render.composite import composite_frame, FPSOverlay, overlay_blit_device
 from ..render.ibl import IBL
 from .input import InputSystem, InputFrame
 
@@ -154,7 +154,7 @@ class Engine:
 
         @jax.jit
         def _fused(state, vel, yaw, has_yaw, jump, dodge, n_substeps, alpha,
-                   ivp, vp, cam_pos, cam_world, exposure):
+                   ivp, vp, cam_pos, cam_world, exposure, fps):
             state = state._replace(
                 intent_vel=state.intent_vel.at[e].set(vel),
                 intent_yaw=state.intent_yaw.at[e].set(yaw),
@@ -179,6 +179,8 @@ class Engine:
                 img = _upscale(render_frame_raster(geo, fg, ivp, cam_pos,
                                                    rw, rh, view_proj=vp))
             u8 = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            # UIPass: FPS digits composited in-device (fps < 0 disables).
+            u8 = overlay_blit_device(u8, fps)
             prev = chunk_local_to_world(state.wp_prev_chunk[e],
                                         state.wp_prev_local[e])
             curr = chunk_local_to_world(state.wp_chunk[e], state.wp_local[e])
@@ -336,6 +338,10 @@ class Engine:
         vp = self.camera.view_proj(self.rt_size[0], self.rt_size[1])
         cam_world = self.camera.world_position.astype(np.float32)
 
+        # FPS overlay rides the fused program (UIPass in-device); EMA state
+        # stays host-side. fps = -1 disables the blit without recompiling.
+        fps = self.overlay.update(dt) if with_overlay else -1
+
         # All args are host numpy/python values: a single transfer rides the
         # one fused dispatch (eager jnp conversions here each cost a ~27 ms
         # tunnel round trip).
@@ -350,7 +356,7 @@ class Engine:
             np.asarray(vp, np.float32),
             np.asarray(self.camera.position, np.float32),
             np.asarray(cam_world, np.float32),
-            np.float32(self.tone_mapping_exposure))
+            np.float32(self.tone_mapping_exposure), np.int32(fps))
         self._pending.append((u8_dev, snap_dev))
         if len(self._pending) < self.pipeline_depth:
             # warm-up: nothing completed yet — present a black frame rather
@@ -361,7 +367,4 @@ class Engine:
             u8 = np.asarray(u8_done)
             self._snap = np.asarray(snap_done)
             self._dodge_active = bool(self._snap[6] > 0.5)
-        if with_overlay:
-            fps = self.overlay.update(dt)
-            u8 = self.overlay.blit(u8, fps)
         return u8

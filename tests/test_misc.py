@@ -231,3 +231,21 @@ def test_fps_overlay_blit():
     assert out.sum() > 0  # digits drawn
     # top-right region has white pixels
     assert out[:40, 100:].max() == 255
+
+
+def test_fps_overlay_device_matches_host():
+    """The in-device UIPass blit equals the host blit for 1-3 digit values,
+    and fps < 0 leaves the frame untouched."""
+    from swift_game_engine_tpu.render.composite import overlay_blit_device
+    ov = FPSOverlay()
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    for fps in (7, 60, 144, 999):
+        host = ov.blit(frame, fps)
+        dev = np.asarray(jax.jit(overlay_blit_device)(jnp.asarray(frame),
+                                                      jnp.int32(fps)))
+        # float rounding in the two blend paths may differ by 1 ulp of u8
+        assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1, fps
+    off = np.asarray(jax.jit(overlay_blit_device)(jnp.asarray(frame),
+                                                  jnp.int32(-1)))
+    assert (off == frame).all()
