@@ -1267,6 +1267,238 @@ def trace_shadow_factor(shadow_rows, l, o, t_limit,
     return topq, ts, ids
 
 
+# ---------------------------------------------------------------------------
+# Shared-ORIGIN closest-hit kernel (primary rays + transparency layers).
+#
+# Primary rays all start at the camera, and a transparency continuation ray
+# is the SAME line with a larger t, so one per-frame precompute against the
+# shared origin o makes Moller-Trumbore linear in the ray DIRECTION:
+#   u = d.k_u / d.k_d     k_u = e2 x (o - a)
+#   v = d.k_v / d.k_d     k_v = (o - a) x e1
+#   t = tn    / d.k_d     k_d = e2 x e1,  tn = e2 . k_v   (scalar!)
+# A slot test is 3 dot products against constants + sign-folded compares —
+# no cross products, no division until the accepted hit. Transparency
+# layers 2+ re-trace the ORIGINAL camera ray with a per-lane ``t_floor``
+# (t_hit + 2*bias) instead of an offset origin — same surface-skip
+# semantics as the reference's biased continuation origin
+# (RayTracing.metalinc:726-737), one kernel for every layer.
+# Traversal is the near-first ordered walk (same header/stack as
+# _kernel_smem_ordered); constants live in leaf-compacted rows like the
+# shadow kernel's.
+# ---------------------------------------------------------------------------
+
+SO_SLOT_F = 10
+SO_ROW_W = SO_SLOT_F * SLOT_N + SLOT_N
+
+
+def build_origin_rows(rows, o):
+    """Per-frame XLA precompute for shared ray origin ``o``: kernel rows ->
+    (header (M*8,) with compact leaf ranks, leaf srows (Lp, SO_ROW_W)).
+
+    Leaf-compacted exactly like build_shadow_rows (binary trees bound
+    leaves by (M+1)//2); header[7] carries leaf_rank+0 (>0.5 for leaves)."""
+    m = rows.shape[0]
+    is_leaf = rows[:, 7] > 0.5
+    lp = ((m + 1) // 2 + 7) // 8 * 8
+    leaf_nodes = jnp.nonzero(is_leaf, size=lp, fill_value=0)[0]
+    leaf_rows = rows[leaf_nodes]
+    header = rows[:, :8]
+    leaf_rank = jnp.cumsum(is_leaf.astype(jnp.float32))
+    header = header.at[:, 7].set(jnp.where(is_leaf, leaf_rank, 0.0))
+
+    tri = leaf_rows[:, 8:8 + 9 * SLOT_N].reshape(lp, SLOT_N, 9)
+    a = tri[..., 0:3]
+    e1 = tri[..., 3:6]
+    e2 = tri[..., 6:9]
+    ids = leaf_rows[:, 8 + 9 * SLOT_N: 8 + 10 * SLOT_N]
+
+    tv = jnp.asarray(o, jnp.float32) - a
+    k_u = jnp.cross(e2, tv)
+    k_v = jnp.cross(tv, e1)
+    k_d = jnp.cross(e2, e1)
+    tn = jnp.sum(e2 * k_v, axis=-1, keepdims=True)
+    slot = jnp.concatenate([k_u, k_v, k_d, tn], axis=-1)  # (Lp, SLOT_N, 10)
+    srows = jnp.concatenate([slot.reshape(lp, SO_SLOT_F * SLOT_N), ids],
+                            axis=-1)
+    return header.reshape(-1), srows
+
+
+def _kernel_so_ordered(header_ref, origin_ref, srows_ref,
+                       dx_ref, dy_ref, dz_ref, tmax_ref, tfloor_ref,
+                       t_out, tri_out, stack_ref):
+    """Near-first ordered traversal with shared-origin leaf tests.
+
+    The origin is a (3,) SMEM scalar: slab offsets (bmin - o) become scalar
+    subtracts (the general kernels pay 6 vector subtracts per step).
+    Inactive lanes are masked by t_max = 0, NOT by parked origins — parked
+    origins would break the baked leaf constants."""
+    ox = origin_ref[0]
+    oy = origin_ref[1]
+    oz = origin_ref[2]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+    t_floor = tfloor_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t0 = tmax_ref[0]
+    tri0 = jnp.full(t0.shape, -1.0, jnp.float32)
+
+    def slab(node, t_best):
+        tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - oy) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - oy) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - oz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+        return box_hit, tmin
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, sp, t_best, tri_best = c
+        hdr7 = header_ref[node * 8 + 7]
+        is_leaf = hdr7 > 0.5
+
+        def do_leaf(args):
+            tb, trib = args
+            box_hit, _ = slab(node, tb)
+            leaf_slot = hdr7.astype(jnp.int32) - 1
+            row = srows_ref[pl.ds(leaf_slot, 1), :]
+
+            def s(k):
+                return row[0, k]
+
+            ids_base = SO_SLOT_F * SLOT_N
+            for j in range(SLOT_N):
+                base = SO_SLOT_F * j
+                tri_id = row[0, ids_base + j]
+                un = dx * s(base + 0) + dy * s(base + 1) + dz * s(base + 2)
+                vn = dx * s(base + 3) + dy * s(base + 4) + dz * s(base + 5)
+                dn = dx * s(base + 6) + dy * s(base + 7) + dz * s(base + 8)
+                tn = s(base + 9)
+                sgn = jnp.where(dn < 0, -1.0, 1.0)
+                dnp = dn * sgn
+                un_s = un * sgn
+                vn_s = vn * sgn
+                tn_s = tn * sgn
+                hit = (tri_id >= 0) & (dnp >= EPS) & (un_s >= 0) & \
+                    (un_s <= dnp) & (vn_s >= 0) & (un_s + vn_s <= dnp) & \
+                    (tn_s > t_floor * dnp) & (tn_s < tb * dnp) & box_hit
+                t = tn_s / jnp.where(dnp >= EPS, dnp, 1.0)
+                tb = jnp.where(hit, t, tb)
+                trib = jnp.where(hit, tri_id, trib)
+            return tb, trib
+
+        t_best, tri_best = jax.lax.cond(
+            is_leaf, do_leaf, lambda args: args, (t_best, tri_best))
+
+        left = node + 1
+        big = jnp.float32(3.0e38)
+
+        def child_keys(_):
+            r = header_ref[left * 8 + 6].astype(jnp.int32)
+            bh_l, tmin_l = slab(left, t_best)
+            bh_r, tmin_r = slab(r, t_best)
+            key_l = jnp.min(jnp.where(bh_l, tmin_l, big))
+            key_r = jnp.min(jnp.where(bh_r, tmin_r, big))
+            return r, key_l, key_r
+
+        right, key_l, key_r = jax.lax.cond(
+            is_leaf, lambda _: (jnp.int32(0), big, big), child_keys, 0)
+
+        hit_l = key_l < big
+        hit_r = key_r < big
+        both = hit_l & hit_r
+        near = jnp.where(key_l <= key_r, left, right)
+        far = left + right - near
+
+        @pl.when(both)
+        def _():
+            stack_ref[jnp.minimum(sp, _STACK_MAX - 1)] = far
+
+        sp = jnp.minimum(sp + both.astype(jnp.int32), _STACK_MAX - 1)
+        descend = (~is_leaf) & (hit_l | hit_r)
+        do_pop = jnp.logical_not(descend)
+        sp_pop = sp - do_pop.astype(jnp.int32)
+        popped = stack_ref[jnp.maximum(sp_pop, 0)]
+        node = jnp.where(descend,
+                         jnp.where(both, near, jnp.where(hit_l, left, right)),
+                         jnp.where(sp_pop >= 0, popped, -1))
+        return node, jnp.maximum(sp_pop, 0), t_best, tri_best
+
+    node0 = jnp.int32(0)
+    sp0 = jnp.int32(0)
+    _, _, t_best, tri_best = jax.lax.while_loop(
+        cond, body, (node0, sp0, t0, tri0))
+    t_out[0] = t_best
+    tri_out[0] = tri_best.astype(jnp.int32)
+
+
+def so_available(rows) -> bool:
+    """Shared-origin kernel eligibility (SMEM header + ordered walk)."""
+    return _USE_SMEM and _USE_ORDERED and rows.shape[0] <= _SMEM_MAX_NODES
+
+
+def trace_rays_so(origin_rows, o, d, t_max, t_floor=None,
+                  interpret: bool = False):
+    """Closest-hit trace for rays sharing origin ``o`` ((3,) — MUST equal
+    the origin baked into ``origin_rows`` by build_origin_rows). Inactive
+    lanes: t_max <= 0. ``t_floor``: per-lane minimum accepted t (default
+    1e-4) — transparency continuation along the same line passes
+    t_hit + 2*bias here. Returns (t (N,), tri (N,) int32)."""
+    header, srows = origin_rows
+    n = d.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]),
+                                         (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
+        if t_floor is not None:
+            t_floor = jnp.concatenate([t_floor, jnp.zeros(pad)])
+    if t_floor is None:
+        t_floor = jnp.full(d.shape[0], 1e-4, jnp.float32)
+    nb = d.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb, _SUB, 128)
+
+    rays = [comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+            comp(jnp.asarray(t_max, jnp.float32)),
+            comp(jnp.asarray(t_floor, jnp.float32))]
+    node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    t, tri = pl.pallas_call(
+        _kernel_so_ordered,
+        grid=(nb,),
+        in_specs=[smem_spec, smem_spec, node_spec] + [ray_spec] * 5,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32)),
+        scratch_shapes=[pltpu.SMEM((_STACK_MAX,), jnp.int32)],
+        interpret=interpret,
+    )(header, jnp.asarray(o, jnp.float32), srows, *rays)
+    return t.reshape(-1)[:n], tri.reshape(-1)[:n]
+
+
 def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmax_ref, t_out, tri_out):
     ox = ox_ref[0]

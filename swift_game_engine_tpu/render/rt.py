@@ -96,6 +96,15 @@ _SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
 # probe (examples/prof_isolate.py): 555.7 ms vs 596.9 ms full frame with the
 # per-layer loop.
 _SHADOW_KERNEL = os.environ.get("SGE_SHADOW_KERNEL", "1") == "1"
+# Shared-origin closest-hit kernel for primary + transparency-layer traces
+# (ops/rt_kernel shared-origin section): leaf tests become 3 dot products
+# against per-frame constants; layers 2+ re-trace the camera ray with a t
+# floor instead of an offset origin. Measured on one v5e @960x540 heavy
+# view (prof_isolate shadow_kernel): 560.3 vs 564.9 ms/frame — ~neutral,
+# because interior traversal steps + shadow + shade dominate, not leaf
+# tests. Kept default-on: never slower, and the t-floor continuation
+# avoids rebuilding offset-origin ray state for layers 2+.
+_SO_KERNEL = os.environ.get("SGE_RT_SO", "1") == "1"
 # Profiling knob: drop the split-sum specular IBL term.
 _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 
@@ -673,6 +682,17 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             l0 = normalize(-lights.direction[0])
             shadow_rows = build_shadow_rows(fg.bvh.rows, l0)
 
+    # Shared-origin trace constants (ops/rt_kernel shared-origin section):
+    # primary rays all start at the camera, and transparency continuations
+    # are the SAME lines with a t floor, so one per-frame precompute serves
+    # layer 1 AND layers 2+ with 3-dot-product leaf tests.
+    so_rows = None
+    if _SO_KERNEL and not _FORCE_JAX_TRAVERSAL and primary is None \
+            and peels is None:
+        from ..ops.rt_kernel import so_available, build_origin_rows
+        if so_available(fg.bvh.rows):
+            so_rows = build_origin_rows(fg.bvh.rows, cam)
+
     def shade_layer(o_l, d_l, t, tri, u, v, found, alpha_in):
         """Shade one layer's hits incl. bounces -> (color, contrib, next_o)."""
         color, m, n, hit_pos, bias = _shade_hit(
@@ -699,6 +719,17 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         t, tri, u, v, found = peels[0]
     elif primary is not None:
         t, tri, u, v, found = primary
+    elif so_rows is not None:
+        from ..ops.rt_kernel import (trace_rays_so, barycentrics,
+                                     BIG as KBIG)
+        interp = jax.default_backend() != "tpu"
+        t, tri = trace_rays_so(so_rows, cam, d,
+                               jnp.full(p, KBIG, jnp.float32),
+                               interpret=interp)
+        u, v, found = barycentrics(fg.bvh, ray_o, d, t, tri)
+        found = found & (t < KBIG)
+        t = jnp.where(found, t, BIG)
+        tri = jnp.where(found, tri, -1)
     else:
         t, tri, u, v, found = _trace_batch(fg.bvh, ray_o, d, jnp.ones(p, bool))
     color, contrib, next_o = shade_layer(ray_o, d, t, tri, u, v, found,
@@ -734,7 +765,57 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
 
     # ---- layers 2..max_layers: chunk-compacted re-traces.
-    if max_layers > 1:
+    if max_layers > 1 and so_rows is not None:
+        # Shared-origin continuation: re-trace the ORIGINAL camera ray with
+        # a per-lane t floor (t_hit + 2*bias — the same surface-skip margin
+        # as the biased continuation origin in the general path; bias here
+        # is distance-from-camera-based on deeper layers, an epsilon-level
+        # difference).
+        from ..ops.rt_kernel import (trace_rays_so, barycentrics,
+                                     BIG as KBIG)
+        interp = jax.default_backend() != "tpu"
+        floor = jnp.where(found, t + 2.0 * shadow_bias(t), 0.0)
+
+        def layer_cond(carry):
+            _, live, _, accum_alpha, layer = carry
+            return jnp.any(live & (accum_alpha < 0.99)) & (layer < max_layers)
+
+        def layer_body(carry):
+            floor, live, accum, accum_alpha, layer = carry
+            live = live & (accum_alpha < 0.99)
+
+            def chunk(idx, valid, carry):
+                floor, live_next, accum, accum_alpha = carry
+                safe = jnp.minimum(idx, p - 1)
+                dc = d[safe]
+                t, tri = trace_rays_so(
+                    so_rows, cam, dc,
+                    jnp.where(valid, KBIG, jnp.float32(0.0)),
+                    t_floor=floor[safe], interpret=interp)
+                u, v, found = barycentrics(fg.bvh, ray_o[safe], dc, t, tri)
+                found = found & valid & (t < KBIG)
+                t = jnp.where(found, t, BIG)
+                tri = jnp.where(found, tri, -1)
+                color, contrib, _ = shade_layer(
+                    ray_o[safe], dc, t, tri, u, v, found, accum_alpha[safe])
+                accum = accum.at[idx].add(color * contrib[..., None])
+                accum_alpha = accum_alpha.at[idx].add(contrib)
+                new_floor = jnp.where(found, t + 2.0 * shadow_bias(t),
+                                      floor[safe])
+                floor = floor.at[idx].set(new_floor)
+                live_next = live_next.at[idx].set(found & valid)
+                return floor, live_next, accum, accum_alpha
+
+            floor, live_next, accum, accum_alpha = _chunked_trace(
+                live, chunk,
+                (floor, jnp.zeros_like(live), accum, accum_alpha),
+                cap_lanes=_CHUNK)
+            return floor, live_next, accum, accum_alpha, layer + 1
+
+        _, live, accum, accum_alpha, _ = jax.lax.while_loop(
+            layer_cond, layer_body,
+            (floor, live, accum, accum_alpha, jnp.int32(1)))
+    elif max_layers > 1:
         def layer_cond(carry):
             _, live, _, accum_alpha, layer = carry
             return jnp.any(live & (accum_alpha < 0.99)) & (layer < max_layers)
