@@ -1,0 +1,319 @@
+"""Cluster shadow kernel: shared-direction occlusion as sorted dense work.
+
+Every shadow ray in a frame points at the same directional light (the
+reference shades shadows for light 0 only, RayTracing.metalinc:332-372).
+The BVH-walk shadow kernel (ops.rt_kernel.trace_shadow_factor) already
+exploits the shared direction for 3-dot-product leaf tests, but still pays
+a serial packet walk: one scalar cursor, a vector->scalar sync per step.
+This kernel replaces the tree with the same cluster structure the tile
+rasterizer uses (render.tile_raster), transported to LIGHT space:
+
+  * Per frame, XLA bakes per-triangle constants for the fixed direction L:
+      u = P.g1 - c1,  v = P.g2 - c2,  t = P.g3 - c3
+    — each slot test is three dot products of the ray ORIGIN against
+    constants (~25 vector ops), linear in P.
+  * Triangles keep their original mesh order (spatially coherent) in
+    clusters of CLUSTER; per cluster: a light-plane AABB (projection onto
+    an orthonormal basis (e1, e2) with L) plus a depth range along L,
+    sorted by min depth.
+  * The kernel runs one program per 4096-origin packet (origins arrive in
+    screen-tile order, so their light-space footprint is tight). It
+    computes the packet's light-plane AABB over live lanes once, walks
+    clusters in depth order with a scalar AABB reject, and STOPS when the
+    next cluster's min depth exceeds every lane's settlement bound
+    (nearest opaque hit / filled translucent slots / t limit).
+
+Output contract matches trace_shadow_factor: per lane the nearest opaque
+t plus the n_slots nearest translucent (t, id) pairs — the caller applies
+the reference's exact alpha-layer semantics elementwise.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rt_kernel import BLOCK, _SUB, BIG, EPS
+
+CLUSTER = int(os.environ.get("SGE_SHADOW_CLUSTER", "128"))
+UNROLL = 8
+assert CLUSTER % UNROLL == 0
+
+
+class ShadowClusters(NamedTuple):
+    """The cluster count is meta.shape[0] // 8 — derived from shape, NOT a
+    stored int leaf: this tuple crosses inner-jit boundaries (_shade_hit),
+    which would trace an int field and break the pallas kernel's static
+    grid."""
+    rows: jnp.ndarray   # (Tp//8, 128) lane-packed per-tri constants
+    meta: jnp.ndarray   # (C*8,) flat cluster metadata, depth-sorted
+    basis: jnp.ndarray  # (3, 3): rows e1, e2, l
+
+
+def _ortho_basis(l):
+    """Orthonormal (e1, e2) spanning the plane perpendicular to unit l."""
+    ax = jnp.abs(l)
+    up = jnp.where(ax[0] < 0.9, jnp.array([1.0, 0.0, 0.0]),
+                   jnp.array([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(l, up)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(l, e1)
+    return e1, e2
+
+
+def build_shadow_clusters(v0, v1, v2, l, translucent) -> ShadowClusters:
+    """Per-frame XLA precompute (column-form math — see
+    tile_raster._setup_clusters for why (T,3)-shaped ops are avoided).
+
+    ``l``: unit direction toward the light. ``translucent``: (T,) bool —
+    translucent ids are encoded as id + 0.5 exactly like
+    rt_kernel.pack_bvh so downstream alpha handling is shared."""
+    lv = jnp.asarray(l, jnp.float32)
+    e1b, e2b = _ortho_basis(lv)
+
+    cols = []
+    for p in (v0, v1, v2):
+        cols.append((p[:, 0], p[:, 1], p[:, 2]))
+    (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = cols
+
+    # triangle edges (columns)
+    e1x, e1y, e1z = x1 - x0, y1 - y0, z1 - z0
+    e2x, e2y, e2z = x2 - x0, y2 - y0, z2 - z0
+
+    # h = cross(L, e2); det = e1 . h
+    hx = lv[1] * e2z - lv[2] * e2y
+    hy = lv[2] * e2x - lv[0] * e2z
+    hz = lv[0] * e2y - lv[1] * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    ok = jnp.abs(det) >= EPS
+    f = 1.0 / jnp.where(ok, det, 1.0)
+
+    g1x, g1y, g1z = hx * f, hy * f, hz * f
+    # q = cross(e1, L)
+    qx = e1y * lv[2] - e1z * lv[1]
+    qy = e1z * lv[0] - e1x * lv[2]
+    qz = e1x * lv[1] - e1y * lv[0]
+    g2x, g2y, g2z = qx * f, qy * f, qz * f
+    # r = cross(e1, e2)  (t = (o - a) . r / det along +L toward light)
+    rx = e1y * e2z - e1z * e2y
+    ry = e1z * e2x - e1x * e2z
+    rz = e1x * e2y - e1y * e2x
+    g3x, g3y, g3z = rx * f, ry * f, rz * f
+
+    c1 = x0 * g1x + y0 * g1y + z0 * g1z
+    c2 = x0 * g2x + y0 * g2y + z0 * g2z
+    c3 = x0 * g3x + y0 * g3y + z0 * g3z
+
+    tcount = v0.shape[0]
+    ids = jnp.arange(tcount, dtype=jnp.float32)
+    ids = ids + 0.5 * jnp.asarray(translucent, jnp.float32)
+    ids = jnp.where(ok, ids, -1.0)
+
+    zero = jnp.zeros(tcount, jnp.float32)
+    rows = jnp.stack([
+        g1x, g1y, g1z, g2x, g2y, g2z, g3x, g3y, g3z,
+        c1, c2, c3, ids, zero, zero, zero,
+    ], axis=-1)
+
+    # light-space footprint per triangle: projection interval on (e1, e2)
+    # and depth range along l
+    def proj(ex, ey, ez):
+        a0 = x0 * ex + y0 * ey + z0 * ez
+        a1 = x1 * ex + y1 * ey + z1 * ez
+        a2 = x2 * ex + y2 * ey + z2 * ez
+        return (jnp.minimum(jnp.minimum(a0, a1), a2),
+                jnp.maximum(jnp.maximum(a0, a1), a2))
+
+    a_lo, a_hi = proj(e1b[0], e1b[1], e1b[2])
+    b_lo, b_hi = proj(e2b[0], e2b[1], e2b[2])
+    d_lo, d_hi = proj(lv[0], lv[1], lv[2])
+    a_lo = jnp.where(ok, a_lo, BIG)
+    a_hi = jnp.where(ok, a_hi, -BIG)
+    b_lo = jnp.where(ok, b_lo, BIG)
+    b_hi = jnp.where(ok, b_hi, -BIG)
+    d_lo = jnp.where(ok, d_lo, BIG)
+    d_hi = jnp.where(ok, d_hi, -BIG)
+
+    pad = (-tcount) % CLUSTER
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad, 16), -1.0, jnp.float32)], axis=0)
+        fill = jnp.full(pad, BIG)
+        a_lo = jnp.concatenate([a_lo, fill])
+        a_hi = jnp.concatenate([a_hi, -fill])
+        b_lo = jnp.concatenate([b_lo, fill])
+        b_hi = jnp.concatenate([b_hi, -fill])
+        d_lo = jnp.concatenate([d_lo, fill])
+        d_hi = jnp.concatenate([d_hi, -fill])
+    tp = rows.shape[0]
+    n_clusters = tp // CLUSTER
+    # Lane-packed: 8 triangles (16 lanes each) per (1, 128) row — a
+    # (Tp, 16) VMEM operand would lane-pad 16 -> 128 (8x scoped VMEM).
+    rows = rows.reshape(tp // 8, 128)
+
+    def cmin(a):
+        return jnp.min(a.reshape(n_clusters, CLUSTER), axis=1)
+
+    def cmax(a):
+        return jnp.max(a.reshape(n_clusters, CLUSTER), axis=1)
+
+    ca0, ca1 = cmin(a_lo), cmax(a_hi)
+    cb0, cb1 = cmin(b_lo), cmax(b_hi)
+    cd0, cd1 = cmin(d_lo), cmax(d_hi)
+    order = jnp.argsort(cd0)
+    base = (order * (CLUSTER // 8)).astype(jnp.float32)  # packed-row index
+    meta = jnp.stack([ca0[order], cb0[order], ca1[order], cb1[order],
+                      cd0[order], cd1[order], base,
+                      jnp.zeros_like(base)], axis=-1)
+    basis = jnp.stack([e1b, e2b, lv], axis=0)
+    return ShadowClusters(rows=rows, meta=meta.reshape(-1), basis=basis)
+
+
+def _kernel(meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
+            topq_out, ts_out, ids_out, *, n_slots: int, n_clusters: int):
+    px = ox_ref[0]
+    py = oy_ref[0]
+    pz = oz_ref[0]
+    t_lim = tlim_ref[0]
+    live = t_lim > 0.0
+
+    # packet light-space footprint over live lanes (dead lanes park at 1e9)
+    a = px * basis_ref[0] + py * basis_ref[1] + pz * basis_ref[2]
+    b = px * basis_ref[3] + py * basis_ref[4] + pz * basis_ref[5]
+    dep = px * basis_ref[6] + py * basis_ref[7] + pz * basis_ref[8]
+    big = jnp.float32(BIG)
+    pa0 = jnp.min(jnp.where(live, a, big))
+    pa1 = jnp.max(jnp.where(live, a, -big))
+    pb0 = jnp.min(jnp.where(live, b, big))
+    pb1 = jnp.max(jnp.where(live, b, -big))
+    pd0 = jnp.min(jnp.where(live, dep, big))
+
+    bigv = jnp.full(px.shape, BIG, jnp.float32)
+    topq0 = jnp.where(live, bigv, 0.0)
+    # settlement bound: beyond it no record can change. Refreshed after
+    # each accepted cluster.
+    dep_live = jnp.where(live, dep, -big)
+
+    def bound_of(t_opq, ts_last):
+        lane_t = jnp.minimum(jnp.minimum(t_lim, t_opq), ts_last)
+        return jnp.max(dep_live + jnp.where(live, lane_t, 0.0))
+
+    init = (jnp.int32(0), jnp.float32(0.0), bound_of(topq0, bigv), topq0) + \
+        tuple(bigv for _ in range(n_slots)) + \
+        tuple(jnp.full(px.shape, -1.0, jnp.float32) for _ in range(n_slots))
+
+    def do_cluster(base_i, recs):
+        # base_i indexes PACKED rows (8 triangles of 16 lanes per row)
+        def group(g, recs):
+            t_opq = recs[0]
+            ts = list(recs[1:1 + n_slots])
+            ids = list(recs[1 + n_slots:])
+            rows = rows_ref[pl.ds(base_i + g, 1), :]
+            for j in range(8):
+                def s(i):
+                    return rows[0, j * 16 + i]
+
+                tri_id = s(12)  # noqa: B023 — j is static (unrolled)
+                u = px * s(0) + py * s(1) + pz * s(2) - s(9)
+                v = px * s(3) + py * s(4) + pz * s(5) - s(10)
+                t = px * s(6) + py * s(7) + pz * s(8) - s(11)
+                hit = (tri_id >= 0) & (u >= 0) & (u <= 1) & (v >= 0) & \
+                    (u + v <= 1) & (t > 1e-4) & (t < t_lim)
+                opaque = tri_id == jnp.floor(tri_id)
+                t_opq = jnp.where(hit & opaque, jnp.minimum(t_opq, t), t_opq)
+                ct = jnp.where(hit & ~opaque, t, BIG)
+                cid = jnp.where(hit & ~opaque, tri_id, -1.0)
+                for k in range(n_slots):
+                    win = ct < ts[k]
+                    nt = jnp.where(win, ct, ts[k])
+                    nid = jnp.where(win, cid, ids[k])
+                    ct, cid = (jnp.where(win, ts[k], ct),
+                               jnp.where(win, ids[k], cid))
+                    ts[k], ids[k] = nt, nid
+            return (t_opq,) + tuple(ts) + tuple(ids)
+
+        return jax.lax.fori_loop(0, CLUSTER // 8, group, recs)
+
+    def cond(c):
+        return (c[0] < n_clusters) & (c[1] < 0.5)
+
+    def body(c):
+        ci, _, bound = c[0], c[1], c[2]
+        recs = c[3:]
+        ca0 = meta_ref[ci * 8 + 0]
+        cb0 = meta_ref[ci * 8 + 1]
+        ca1 = meta_ref[ci * 8 + 2]
+        cb1 = meta_ref[ci * 8 + 3]
+        cd0 = meta_ref[ci * 8 + 4]
+        cd1 = meta_ref[ci * 8 + 5]
+        base_i = meta_ref[ci * 8 + 6].astype(jnp.int32)
+        # sorted ascending by cd0: all later clusters are at least this deep
+        stop = jnp.where(cd0 >= bound, 1.0, 0.0)
+        overlap = (ca0 <= pa1) & (ca1 >= pa0) & (cb0 <= pb1) & (cb1 >= pb0) \
+            & (cd1 > pd0)
+        process = overlap & (stop < 0.5)
+
+        recs = jax.lax.cond(process, lambda r: do_cluster(base_i, r),
+                            lambda r: r, recs)
+        bound = jax.lax.cond(
+            process, lambda r: bound_of(r[0], r[n_slots]),
+            lambda r: bound, recs)
+        return (ci + 1, stop, bound) + recs
+
+    out = jax.lax.while_loop(cond, body, init)
+    topq_out[0] = out[3]
+    for k in range(n_slots):
+        ts_out[0, k] = out[4 + k]
+        ids_out[0, k] = out[4 + n_slots + k]
+
+
+def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
+                          interpret: bool = False):
+    """Shadow records for a flat origin batch (packet-ordered).
+
+    Returns (t_opq (N,), ts (N, n_slots), ids (N, n_slots)) — identical
+    contract to rt_kernel.trace_shadow_factor. Inactive lanes must carry
+    t_limit <= 0 AND parked origins (1e9) so they never widen a packet's
+    light-space footprint."""
+    n_clusters = sc.meta.shape[0] // 8
+    n = o.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
+        t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
+    nb = o.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb, _SUB, 128)
+
+    rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+            comp(jnp.asarray(t_limit, jnp.float32))]
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((1, n_slots, _SUB, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    topq, ts, ids = pl.pallas_call(
+        partial(_kernel, n_slots=n_slots, n_clusters=n_clusters),
+        grid=(nb,),
+        in_specs=[smem_spec, smem_spec, vmem_spec] + [ray_spec] * 4,
+        out_specs=(ray_spec, slot_spec, slot_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(sc.meta, sc.basis.reshape(-1), sc.rows, *rays)
+    topq = topq.reshape(-1)[:n]
+    ts = ts.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    ids = ids.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    return topq, ts, ids

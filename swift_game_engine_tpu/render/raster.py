@@ -85,6 +85,10 @@ def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v,
 import os
 
 _RASTER_VIS = os.environ.get("SGE_RASTER_VIS", "tile")  # tile | trace
+# Visibility binning: "clusters" (front-to-back cluster walk with occlusion
+# early-exit, round-3 default) or "lists" (exact per-tile candidate lists;
+# setup is nonzero/gather-bound — kept for comparison).
+_RASTER_MODE = os.environ.get("SGE_RASTER_MODE", "clusters")
 
 
 def render_frame_raster(geo: SceneGeometry, fg: FrameGeometry, inv_view_proj,
@@ -114,6 +118,26 @@ def _render_tile(geo, fg, inv_view_proj, cam_pos, width, height, max_layers,
     accum = jnp.zeros((p, 3))
     accum_alpha = jnp.zeros(p)
     live = jnp.ones(p, bool)
+    if _RASTER_MODE == "clusters":
+        # One cluster-raster pass yields every layer's hit records (in-kernel
+        # K-nearest insertion; shared setup and early exit).
+        from .rt import _opaque_tris
+        from .tile_raster import rasterize_clusters
+        peels = rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width,
+                                   height, layers=max_layers,
+                                   interpret=interpret,
+                                   opaque=_opaque_tris(geo))
+        for hits in peels:
+            found = hits.found & live & (accum_alpha < 0.99)
+            color, alpha, _ = _raster_shade(geo, fg, ray_o, ray_d, hits.t,
+                                            hits.tri, hits.u, hits.v, found,
+                                            usage)
+            contrib = jnp.where(found, alpha * (1.0 - accum_alpha), 0.0)
+            accum = accum + color * contrib[..., None]
+            accum_alpha = accum_alpha + contrib
+            live = found
+        out = accum + jnp.asarray(background) * (1.0 - accum_alpha)[..., None]
+        return out.reshape(height, width, 3)
     prev_w = None
     # Static peel loop: each layer rasterizes the nearest fragment strictly
     # behind the previous layer's depth (misses carry BIG -> stay misses).

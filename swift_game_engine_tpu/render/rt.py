@@ -107,6 +107,10 @@ _SHADOW_KERNEL = os.environ.get("SGE_SHADOW_KERNEL", "1") == "1"
 _SO_KERNEL = os.environ.get("SGE_RT_SO", "1") == "1"
 # Profiling knob: drop the split-sum specular IBL term.
 _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
+# Cluster shadow kernel (ops.cluster_shadow): shared-direction shadow
+# records from depth-sorted light-space clusters instead of a BVH walk.
+# Takes precedence over the shadow-factor walk when enabled.
+_SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "0") == "1"
 
 
 # Chunked compaction: work that touches a small, scattered subset of lanes
@@ -324,9 +328,41 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
     return alpha * base_t[..., 3]
 
 
+def _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids, active,
+                          max_dist, shadow_layers: int, usage):
+    """The reference's exact shadow layer semantics, elementwise over
+    single-walk records: hits are processed nearest-first; each translucent
+    layer multiplies by (1 - alpha); the walk stops at shadow <= 0.02 or
+    after shadow_layers layers; an opaque hit inside the remaining layer
+    budget zeroes the factor."""
+    from ..ops.rt_kernel import barycentrics
+    p = o_sh.shape[0]
+    shadow = jnp.ones(p)
+    applied = jnp.zeros(p, jnp.int32)
+    for k in range(shadow_layers):
+        tri_k = jnp.floor(ids[:, k]).astype(jnp.int32)
+        t_k = ts[:, k]
+        if usage.base and usage.alpha_tex:
+            t_safe = jnp.where(tri_k >= 0, t_k, 0.0)
+            u_k, v_k, _ = barycentrics(fg.bvh, o_sh,
+                                       jnp.broadcast_to(l, o_sh.shape),
+                                       t_safe, tri_k)
+        else:
+            u_k = v_k = jnp.zeros_like(t_k)
+        a_k = _sample_alpha(geo, tri_k, u_k, v_k, usage)
+        can = active & (tri_k >= 0) & (t_k < t_opq) & (t_k < max_dist) \
+            & (shadow > 0.02)
+        shadow = jnp.where(can, shadow * (1.0 - a_k), shadow)
+        applied = applied + can.astype(jnp.int32)
+    opq_can = active & (t_opq < max_dist) & (shadow > 0.02) & \
+        (applied < shadow_layers)
+    shadow = jnp.where(opq_can, 0.0, shadow)
+    return jnp.where(active, shadow, 1.0)
+
+
 def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                    bias, active, shadow_layers: int, usage=None,
-                   shadow_rows=None):
+                   shadow_rows=None, shadow_clusters=None):
     """Alpha-filtered shadow ray toward a directional light
     (RayTracing.metalinc:332-372)."""
     l = normalize(-light_dir)
@@ -335,41 +371,31 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
 
     o0 = hit_pos + n * bias[..., None]
 
+    if shadow_clusters is not None:
+        # Cluster shadow kernel (ops.cluster_shadow): depth-sorted dense
+        # light-space clusters instead of a BVH walk; identical records.
+        from ..ops.cluster_shadow import trace_shadow_clusters
+        o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
+        t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
+                          jnp.float32(0.0))
+        t_opq, ts, ids = trace_shadow_clusters(
+            shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
+            interpret=jax.default_backend() != "tpu")
+        return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
+                                     active, max_dist, shadow_layers, usage)
+
     if shadow_rows is not None:
         # Single-walk shadow records (see ops/rt_kernel shadow-factor
-        # section), then the reference's exact layer semantics elementwise:
-        # hits are processed nearest-first; each translucent layer
-        # multiplies by (1 - alpha); the walk stops at shadow <= 0.02 or
-        # after shadow_layers layers; an opaque hit inside the remaining
-        # layer budget zeroes the factor.
-        from ..ops.rt_kernel import trace_shadow_factor, barycentrics
+        # section) + the exact layer semantics elementwise.
+        from ..ops.rt_kernel import trace_shadow_factor
         o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
         t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
                           jnp.float32(0.0))
         t_opq, ts, ids = trace_shadow_factor(
             shadow_rows, l, o_sh, t_lim, n_slots=shadow_layers,
             interpret=jax.default_backend() != "tpu")
-        shadow = jnp.ones(hit_pos.shape[0])
-        applied = jnp.zeros(hit_pos.shape[0], jnp.int32)
-        for k in range(shadow_layers):
-            tri_k = jnp.floor(ids[:, k]).astype(jnp.int32)
-            t_k = ts[:, k]
-            if usage.base and usage.alpha_tex:
-                t_safe = jnp.where(tri_k >= 0, t_k, 0.0)
-                u_k, v_k, _ = barycentrics(fg.bvh, o_sh,
-                                           jnp.broadcast_to(l, o_sh.shape),
-                                           t_safe, tri_k)
-            else:
-                u_k = v_k = jnp.zeros_like(t_k)
-            a_k = _sample_alpha(geo, tri_k, u_k, v_k, usage)
-            can = active & (tri_k >= 0) & (t_k < t_opq) & (t_k < max_dist) \
-                & (shadow > 0.02)
-            shadow = jnp.where(can, shadow * (1.0 - a_k), shadow)
-            applied = applied + can.astype(jnp.int32)
-        opq_can = active & (t_opq < max_dist) & (shadow > 0.02) & \
-            (applied < shadow_layers)
-        shadow = jnp.where(opq_can, 0.0, shadow)
-        return jnp.where(active, shadow, 1.0)
+        return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
+                                     active, max_dist, shadow_layers, usage)
     act0 = active
     shadow0 = jnp.ones(hit_pos.shape[0])
     if _SHADOW_PREPASS and not _FORCE_JAX_TRAVERSAL:
@@ -422,7 +448,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
 def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
                cam_pos, ray_o, ray_d, t_hit, tri, u, v, active,
                with_ibl_spec: bool, shadow_layers: int, usage=None,
-               shadow_rows=None):
+               shadow_rows=None, shadow_clusters=None):
     """Shade one hit batch. Returns (color, m, n_shade, hit_pos, bias).
 
     Inactive/missed lanes are sanitized (t := 1) and their color forced to 0
@@ -488,7 +514,8 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         if i == 0:
             shadow = _shadow_factor(geo, fg, hit_pos, n, lights.direction[i],
                                     max_dist, bias, gate, shadow_layers,
-                                    usage, shadow_rows=shadow_rows)
+                                    usage, shadow_rows=shadow_rows,
+                                    shadow_clusters=shadow_clusters)
         else:
             shadow = jnp.ones_like(ndotl)
         brdf = eval_brdf(n, view, jnp.broadcast_to(l, n.shape),
@@ -521,6 +548,22 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 # ~20% of lanes still accumulating; single-layer raster primary wins when
 # primary rays dominate. Default chosen by bench measurement.
 _RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "trace")
+# Binning mode for rasterized visibility (see render.raster): "clusters"
+# (front-to-back cluster walk + occlusion early-exit) or "lists" (legacy
+# per-tile candidate lists).
+_RASTER_MODE = os.environ.get("SGE_RASTER_MODE", "clusters")
+
+
+def _opaque_tris(geo: SceneGeometry):
+    """Per-triangle 'fragment fully occludes' flag for raster early exit:
+    material alpha factor >= 0.99 (the shading loop's accumulation cutoff)
+    and no alpha-carrying base texture bound."""
+    mid = jnp.maximum(geo.tri_material, 0)
+    opaque = geo.materials.alpha[mid] >= 0.99
+    us = texture_usage(geo)
+    if us.base and us.alpha_tex:
+        opaque = opaque & (geo.materials.base_tex[mid] < 0)
+    return opaque
 
 
 def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
@@ -549,16 +592,29 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         # go through pixel centers, so "next hit along the ray" == "next
         # depth behind the previous fragment"). The BVH only serves shadow
         # / mirror / refraction rays in this mode.
-        from .tile_raster import rasterize_peeled
+        if _RASTER_MODE == "clusters":
+            from .tile_raster import rasterize_clusters
+            raw_peels = rasterize_clusters(
+                fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
+                width, height, layers=max_layers, interpret=interp,
+                opaque=_opaque_tris(geo))
+        else:
+            from .tile_raster import rasterize_peeled
+            raw_peels = rasterize_peeled(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
+                                         view_proj, cam_pos, width, height,
+                                         max_layers, interpret=interp)
         peels = [(h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
-                  h.found[perm])
-                 for h in rasterize_peeled(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
-                                           view_proj, cam_pos, width, height,
-                                           max_layers, interpret=interp)]
+                  h.found[perm]) for h in raw_peels]
     elif _RT_PRIMARY == "raster":
-        from .tile_raster import rasterize
-        h = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
-                      width, height, interpret=interp)
+        if _RASTER_MODE == "clusters":
+            from .tile_raster import rasterize_clusters
+            h = rasterize_clusters(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
+                                   view_proj, cam_pos, width, height,
+                                   layers=1, interpret=interp)[0]
+        else:
+            from .tile_raster import rasterize
+            h = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj,
+                          cam_pos, width, height, interpret=interp)
         primary = (h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
                    h.found[perm])
 
@@ -575,7 +631,8 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
 
 
 def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
-                 base, mask, color, shadow_layers, usage, shadow_rows=None):
+                 base, mask, color, shadow_layers, usage, shadow_rows=None,
+                 shadow_clusters=None):
     """One deterministic mirror bounce for the set lanes of ``mask``
     (RayTracing.metalinc:382-542), chunk-compacted."""
     p = mask.shape[0]
@@ -591,7 +648,7 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         r_color, r_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
             rfound, False, shadow_layers, usage=usage,
-            shadow_rows=shadow_rows)
+            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters)
         refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
         refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
             + BG_COLOR * (1.0 - refl_alpha)[..., None]
@@ -607,7 +664,7 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
                      transmission, ior, found, color, shadow_layers, usage,
-                     shadow_rows=None):
+                     shadow_rows=None, shadow_clusters=None):
     """One refraction bounce with IOR eta flip + Fresnel mix for
     transmissive hits (RayTracing.metalinc:544-713), chunk-compacted. The
     refracted direction is computed densely (cheap vector math); only the
@@ -632,7 +689,7 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         f_color, f_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
             ffound, False, shadow_layers, usage=usage,
-            shadow_rows=shadow_rows)
+            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters)
         refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
         refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
         refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
@@ -674,7 +731,14 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     # the only shadow-casting light, as in the reference). One XLA
     # precompute shared by every shade call in the frame.
     shadow_rows = None
-    if _SHADOW_KERNEL and not _FORCE_JAX_TRAVERSAL and \
+    shadow_clusters = None
+    if _SHADOW_CLUSTERS and not _FORCE_JAX_TRAVERSAL and \
+            1 <= shadow_layers <= 4:
+        from ..ops.cluster_shadow import build_shadow_clusters
+        l0 = normalize(-lights.direction[0])
+        shadow_clusters = build_shadow_clusters(
+            fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent)
+    elif _SHADOW_KERNEL and not _FORCE_JAX_TRAVERSAL and \
             1 <= shadow_layers <= 4:
         from ..ops.rt_kernel import (shadow_prepass_available,
                                      build_shadow_rows)
@@ -697,19 +761,22 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         """Shade one layer's hits incl. bounces -> (color, contrib, next_o)."""
         color, m, n, hit_pos, bias = _shade_hit(
             geo, fg, ibl, lights, cam, o_l, d_l, t, tri, u, v, found,
-            True, shadow_layers, usage=usage, shadow_rows=shadow_rows)
+            True, shadow_layers, usage=usage, shadow_rows=shadow_rows,
+            shadow_clusters=shadow_clusters)
         if enable_mirror:
             mirror = found & (m["roughness"] <= 0.08) & (m["metallic"] >= 0.8)
             color = _mirror_pass(geo, fg, ibl, lights, cam, d_l, n, hit_pos,
                                  bias, m["metallic"], m["base"], mirror,
                                  color, shadow_layers, usage,
-                                 shadow_rows=shadow_rows)
+                                 shadow_rows=shadow_rows,
+                                 shadow_clusters=shadow_clusters)
         if enable_refraction:
             color = _refraction_pass(geo, fg, ibl, lights, cam, d_l, n,
                                      hit_pos, bias, m["base"],
                                      m["transmission"], m["ior"], found,
                                      color, shadow_layers, usage,
-                                     shadow_rows=shadow_rows)
+                                     shadow_rows=shadow_rows,
+                                     shadow_clusters=shadow_clusters)
         contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
         next_o = hit_pos + d_l * (bias * 2.0)[..., None]
         return color, contrib, next_o

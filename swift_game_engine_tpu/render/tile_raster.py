@@ -47,6 +47,11 @@ TILE_W = 128
 # that frame (counted in the returned stats) — raise SGE_RASTER_K for
 # pathological all-triangles-in-one-tile viewpoints.
 RASTER_K = int(os.environ.get("SGE_RASTER_K", "8192"))
+# Cluster rasterizer (the round-3 default, see rasterize_clusters):
+# triangles per cluster. Mesh-order clusters stay spatially tight; smaller
+# clusters reject tighter but add per-cluster scalar overhead.
+CLUSTER = int(os.environ.get("SGE_RASTER_CLUSTER", "128"))
+assert CLUSTER % 8 == 0
 # Candidate rows processed per loop iteration. The per-candidate vector
 # work (3 edge dots + compares on a 32x128 block) is far below the VPU's
 # issue width, so the loop is overhead-bound; unrolling amortizes it.
@@ -439,3 +444,373 @@ def rasterize(v0, v1, v2, view_proj, cam_pos, width: int, height: int,
     t = jnp.where(found, t, BIG)
     return RasterHits(t=t, tri=jnp.where(found, tid, -1), u=b1, v=b2,
                       found=found, w_depth=w, overflow=overflowed)
+
+
+# ---------------------------------------------------------------------------
+# Cluster rasterizer — the round-3 redesign of binned visibility.
+#
+# The list-based path above pays for EXACT per-tile candidate lists: a
+# (tiles, T) overlap mask, a per-tile jnp.nonzero (sort-based: measured
+# 111 ms of a 120 ms rasterize at 960x540/67k tris), and a (tiles, K, 16)
+# candidate gather (30 ms). The cluster path removes all three:
+#
+#   * Triangles stay in their ORIGINAL mesh order (spatially coherent by
+#     construction — flatten_frame emits meshes contiguously) and are
+#     grouped into fixed runs of CLUSTER. No per-triangle reordering, no
+#     gathers: the kernel indexes the shared (T, 16) row table directly.
+#   * Per frame, XLA computes one conservative screen AABB + min view
+#     depth per CLUSTER (cheap segment reductions), sorts the ~T/CLUSTER
+#     cluster METADATA front-to-back (hundreds of keys, not millions of
+#     pairs), and hands the kernel a flat SMEM table.
+#   * The kernel walks clusters in depth order: a scalar AABB test rejects
+#     clusters that miss the tile before any vector work, and the walk
+#     STOPS once every pixel's last peel slot is nearer than the next
+#     cluster's min depth (front-to-back occlusion culling — the
+#     reference's raster path gets this from the hardware early-Z unit,
+#     Game/PipelineBuilder.swift:47-55 depth test less/write).
+#
+# Completeness by construction (every triangle is in exactly one cluster,
+# every cluster is tested against every tile it can touch), so there is no
+# RASTER_K overflow mode — un-decimated scenes just add clusters.
+# ---------------------------------------------------------------------------
+
+
+def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
+    """Per-triangle edge rows + front-to-back sorted cluster metadata.
+
+    Returns (rows (Tp, 16), meta (C*8,) flat f32, n_clusters). Row layout
+    matches _setup 0:13: cof0 cof1 cof2 (9), w (3), id (1); lane 13 carries
+    the per-triangle opaque flag (0/1). Meta layout per cluster:
+    [x0, y0, x1, y1, w_min, base_row, 0, 0] sorted by w_min.
+
+    ``opaque``: optional (T,) bool — fragments of opaque triangles
+    TERMINATE their pixel for the early-exit bound (layers behind an
+    opaque fragment are never shaded: front-to-back alpha accumulation
+    saturates). Omitting it is always correct, just exits later when
+    layers > 1 over open geometry.
+
+    All math runs on (T,) COLUMN arrays: ops on (T, 3)-shaped arrays put
+    the 3-wide minor dim on the 128-lane axis (97% lane waste + relayouts
+    between every op — measured 25 ms for the transform+cofactor step
+    alone at 67k triangles; the column form is < 2 ms).
+    """
+    vp = np.asarray(view_proj, np.float32) if not isinstance(
+        view_proj, jnp.ndarray) else view_proj
+    vp = jnp.asarray(vp, jnp.float32)
+
+    def tfc(p):
+        """Clip-space columns (x, y, w), each (T,)."""
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        cx = vp[0, 0] * x + vp[0, 1] * y + vp[0, 2] * z + vp[0, 3]
+        cy = vp[1, 0] * x + vp[1, 1] * y + vp[1, 2] * z + vp[1, 3]
+        cw = vp[3, 0] * x + vp[3, 1] * y + vp[3, 2] * z + vp[3, 3]
+        return cx, cy, cw
+
+    x0c, y0c, w0c = tfc(v0)
+    x1c, y1c, w1c = tfc(v1)
+    x2c, y2c, w2c = tfc(v2)
+
+    def cross_cols(ax, ay, az, bx, by, bz):
+        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+    cof0x, cof0y, cof0z = cross_cols(x1c, y1c, w1c, x2c, y2c, w2c)
+    cof1x, cof1y, cof1z = cross_cols(x2c, y2c, w2c, x0c, y0c, w0c)
+    cof2x, cof2y, cof2z = cross_cols(x0c, y0c, w0c, x1c, y1c, w1c)
+    det = x0c * cof0x + y0c * cof0y + w0c * cof0z
+
+    eps_w = 1e-6
+    in_front = (w0c > eps_w) & (w1c > eps_w) & (w2c > eps_w)
+
+    def pix(xc, wc, extent, flip_y):
+        ndc = xc / jnp.maximum(wc, eps_w)
+        v = ndc * 0.5 + 0.5
+        if flip_y:
+            v = 1.0 - v
+        return v * extent
+
+    px0 = pix(x0c, w0c, width, False)
+    px1 = pix(x1c, w1c, width, False)
+    px2 = pix(x2c, w2c, width, False)
+    py0 = pix(y0c, w0c, height, True)
+    py1 = pix(y1c, w1c, height, True)
+    py2 = pix(y2c, w2c, height, True)
+    x_min = jnp.where(in_front, jnp.minimum(jnp.minimum(px0, px1), px2), 0.0)
+    x_max = jnp.where(in_front, jnp.maximum(jnp.maximum(px0, px1), px2),
+                      jnp.float32(width))
+    y_min = jnp.where(in_front, jnp.minimum(jnp.minimum(py0, py1), py2), 0.0)
+    y_max = jnp.where(in_front, jnp.maximum(jnp.maximum(py0, py1), py2),
+                      jnp.float32(height))
+
+    degenerate = jnp.abs(det) < 1e-18
+    offscreen = (x_max < 0) | (x_min > width) | (y_max < 0) | (y_min > height)
+    cull = degenerate | offscreen
+    # Culled triangles keep an EMPTY aabb (never fatten their cluster) and
+    # a BIG depth key; degenerate ones additionally drop their id so the
+    # in-kernel inside test can never accept them. Off-screen triangles
+    # keep their id — any pixel they could win is off-screen by definition.
+    x_min = jnp.where(cull, BIG, x_min)
+    x_max = jnp.where(cull, -BIG, x_max)
+    y_min = jnp.where(cull, BIG, y_min)
+    y_max = jnp.where(cull, -BIG, y_max)
+    # Fragment view depth detp/sig is a convex combination of vertex w's
+    # over the positive-barycentric region intersected with detp > 0, so
+    # max(min_i w_i, 0) is a valid per-triangle lower bound (exact for
+    # fully-in-front triangles, conservative for near-plane crossers).
+    w_min = jnp.where(cull, BIG,
+                      jnp.maximum(jnp.minimum(jnp.minimum(w0c, w1c), w2c),
+                                  0.0))
+
+    tcount = v0.shape[0]
+    ids = jnp.where(degenerate, -1.0,
+                    jnp.arange(tcount, dtype=jnp.float32))
+    if opaque is None:
+        opq = jnp.zeros(tcount, jnp.float32)
+    else:
+        opq = jnp.asarray(opaque, jnp.float32)
+    zero = jnp.zeros(tcount, jnp.float32)
+    rows = jnp.stack([
+        cof0x, cof0y, cof0z, cof1x, cof1y, cof1z, cof2x, cof2y, cof2z,
+        w0c, w1c, w2c, ids, opq, zero, zero,
+    ], axis=-1)
+
+    pad = (-tcount) % CLUSTER
+    if pad:
+        fill = jnp.full((pad, 16), -1.0, jnp.float32)
+        rows = jnp.concatenate([rows, fill], axis=0)
+        x_min = jnp.concatenate([x_min, jnp.full(pad, BIG)])
+        x_max = jnp.concatenate([x_max, jnp.full(pad, -BIG)])
+        y_min = jnp.concatenate([y_min, jnp.full(pad, BIG)])
+        y_max = jnp.concatenate([y_max, jnp.full(pad, -BIG)])
+        w_min = jnp.concatenate([w_min, jnp.full(pad, BIG)])
+    tp = rows.shape[0]
+    n_clusters = tp // CLUSTER
+    # Lane-packed layout: 8 triangles (16 lanes each) per (1, 128) row —
+    # a (Tp, 16) f32 VMEM operand would lane-pad 16 -> 128 (8x memory: the
+    # demo scene's 4.3 MB of rows became a 34 MB scoped-VMEM request).
+    rows = rows.reshape(tp // 8, 128)
+
+    def creduce(a, fn):
+        return fn(a.reshape(n_clusters, CLUSTER), axis=1)
+
+    cx0 = creduce(x_min, jnp.min)
+    cx1 = creduce(x_max, jnp.max)
+    cy0 = creduce(y_min, jnp.min)
+    cy1 = creduce(y_max, jnp.max)
+    cw = creduce(w_min, jnp.min)
+
+    order = jnp.argsort(cw)
+    base = (order * (CLUSTER // 8)).astype(jnp.float32)  # packed-row index
+    meta = jnp.stack([cx0[order], cy0[order], cx1[order], cy1[order],
+                      cw[order], base,
+                      jnp.zeros_like(base), jnp.zeros_like(base)], axis=-1)
+    return rows, meta.reshape(-1), n_clusters
+
+
+def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
+                    width, height, tiles_x, layers, n_clusters):
+    """Front-to-back cluster walk with per-tile scalar AABB reject and
+    occlusion early-exit; keeps the ``layers`` nearest fragments per pixel
+    (insertion network, as _raster_kernel_peeled)."""
+    tile = pl.program_id(0)
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+    pxi = (tx * TILE_W +
+           jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1))
+    pyi = (ty * TILE_H +
+           jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0))
+    px = pxi.astype(jnp.float32)
+    py = pyi.astype(jnp.float32)
+    x = (px + 0.5) * (2.0 / width) - 1.0
+    y = 1.0 - (py + 0.5) * (2.0 / height)
+    # Pixels beyond the image (tile padding) count as covered at depth 0 so
+    # they never hold the early exit open.
+    pixel_ok = (pxi < width) & (pyi < height)
+
+    tile_x0 = jnp.float32(1.0) * tx.astype(jnp.float32) * TILE_W
+    tile_y0 = jnp.float32(1.0) * ty.astype(jnp.float32) * TILE_H
+    tile_x1 = tile_x0 + TILE_W
+    tile_y1 = tile_y0 + TILE_H
+
+    def empty():
+        return (jnp.full((TILE_H, TILE_W), BIG, jnp.float32),
+                jnp.ones((TILE_H, TILE_W), jnp.float32),
+                jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                jnp.zeros((TILE_H, TILE_W), jnp.float32))
+
+    init_slots = sum((empty() for _ in range(layers)), ())
+    # Opaque-termination track (layers > 1): nearest OPAQUE fragment depth
+    # per pixel as a division-free (numerator, denominator) pair. Slots
+    # behind it can never be shaded (alpha accumulation saturates at the
+    # opaque layer), so the early-exit bound is min(opaque, last slot).
+    track_opq = layers > 1
+    if track_opq:
+        init_slots = init_slots + (
+            jnp.full((TILE_H, TILE_W), BIG, jnp.float32),
+            jnp.ones((TILE_H, TILE_W), jnp.float32))
+
+    def do_cluster(base_i, slots_flat):
+        # base_i indexes PACKED rows (8 triangles of 16 lanes per row)
+        def group(g, slots_flat):
+            slots = [list(slots_flat[5 * l:5 * l + 5]) for l in range(layers)]
+            if track_opq:
+                on, od = slots_flat[5 * layers], slots_flat[5 * layers + 1]
+            rows = rows_ref[pl.ds(base_i + g, 1), :]
+            for j in range(8):
+                def s(i):
+                    return rows[0, j * 16 + i]
+
+                lam0 = s(0) * x + s(1) * y + s(2)
+                lam1 = s(3) * x + s(4) * y + s(5)
+                lam2 = s(6) * x + s(7) * y + s(8)
+                sig = lam0 + lam1 + lam2
+                flip = jnp.where(sig < 0, -1.0, 1.0)
+                lam0 = lam0 * flip
+                lam1 = lam1 * flip
+                lam2 = lam2 * flip
+                sig = sig * flip
+                detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
+                inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) \
+                    & (sig > 1e-20) & (s(12) >= 0.0) & (detp > 0.0)
+
+                czn = detp
+                czd = sig
+                ctid = jnp.where(inside, s(12), -1.0)
+                cl1, cl2 = lam1, lam2
+                for l in range(layers):
+                    zn, zd, tid, l1, l2 = slots[l]
+                    win = (ctid >= 0.0) & ((tid < 0.0) | (czn * zd < zn * czd))
+                    nzn = jnp.where(win, czn, zn)
+                    nzd = jnp.where(win, czd, zd)
+                    ntid = jnp.where(win, ctid, tid)
+                    nl1 = jnp.where(win, cl1, l1)
+                    nl2 = jnp.where(win, cl2, l2)
+                    czn, czd, ctid, cl1, cl2 = (
+                        jnp.where(win, zn, czn), jnp.where(win, zd, czd),
+                        jnp.where(win, tid, ctid), jnp.where(win, l1, cl1),
+                        jnp.where(win, l2, cl2))
+                    slots[l] = [nzn, nzd, ntid, nl1, nl2]
+                if track_opq:
+                    owin = inside & (s(13) > 0.5) & (detp * od < on * sig)
+                    on = jnp.where(owin, detp, on)
+                    od = jnp.where(owin, sig, od)
+            out = sum((tuple(sl) for sl in slots), ())
+            if track_opq:
+                out = out + (on, od)
+            return out
+
+        return jax.lax.fori_loop(0, CLUSTER // 8, group, slots_flat)
+
+    def cond(c):
+        return (c[0] < n_clusters) & (c[1] < 0.5)
+
+    def body(c):
+        ci = c[0]
+        bound = c[2]
+        slots_flat = c[3:]
+        cx0 = meta_ref[ci * 8 + 0]
+        cy0 = meta_ref[ci * 8 + 1]
+        cx1 = meta_ref[ci * 8 + 2]
+        cy1 = meta_ref[ci * 8 + 3]
+        cw = meta_ref[ci * 8 + 4]
+        base_i = meta_ref[ci * 8 + 5].astype(jnp.int32)
+        # Sorted ascending by w_min: once the farthest last-slot fragment
+        # is nearer than this cluster's min depth, no later cluster can
+        # displace anything (strictly-nearer wins).
+        stop = jnp.where(cw >= bound, 1.0, 0.0)
+        overlap = (cx0 <= tile_x1) & (cx1 >= tile_x0) & \
+            (cy0 <= tile_y1) & (cy1 >= tile_y0)
+        process = overlap & (stop < 0.5)
+
+        slots_flat = jax.lax.cond(
+            process, lambda sf: do_cluster(base_i, sf), lambda sf: sf,
+            slots_flat)
+
+        def new_bound(sf):
+            zn, zd, tid = sf[5 * (layers - 1)], sf[5 * (layers - 1) + 1], \
+                sf[5 * (layers - 1) + 2]
+            depth = jnp.where(tid >= 0.0, zn / zd, BIG)
+            if track_opq:
+                depth = jnp.minimum(depth, sf[5 * layers] /
+                                    sf[5 * layers + 1])
+            depth = jnp.where(pixel_ok, depth, 0.0)
+            return jnp.max(depth)
+
+        bound = jax.lax.cond(process, new_bound, lambda sf: bound, slots_flat)
+        return (ci + 1, stop, bound) + slots_flat
+
+    init = (jnp.int32(0), jnp.float32(0.0), BIG * jnp.float32(1.0)) + \
+        init_slots
+    out = jax.lax.while_loop(cond, body, init)
+    slots_flat = out[3:]
+    for l in range(layers):
+        zn, zd, tid, l1, l2 = slots_flat[5 * l:5 * l + 5]
+        inv = 1.0 / zd
+        id_out[0, l] = tid.astype(jnp.int32)
+        b1_out[0, l] = l1 * inv
+        b2_out[0, l] = l2 * inv
+        w_out[0, l] = jnp.where(tid >= 0, zn * inv, BIG)
+
+
+def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
+                       height: int, layers: int = 1,
+                       interpret: bool = False, opaque=None):
+    """Cluster-binned depth-peeled rasterization -> list of ``layers``
+    RasterHits (nearest fragment first). See the cluster section docstring;
+    no candidate-count overflow mode exists (complete by construction).
+    ``opaque``: optional (T,) bool enabling opaque pixel termination for
+    the early-exit bound (see _setup_clusters)."""
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    tiles = tiles_x * tiles_y
+
+    rows, meta, n_clusters = _setup_clusters(v0, v1, v2, view_proj,
+                                             width, height, opaque=opaque)
+
+    kernel = partial(_cluster_kernel, width=width, height=height,
+                     tiles_x=tiles_x, layers=layers, n_clusters=n_clusters)
+    tile_spec = pl.BlockSpec((1, layers, TILE_H, TILE_W),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W),
+                                  jnp.float32)
+    tid, b1, b2, w = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W), jnp.int32),
+            oshape, oshape, oshape,
+        ),
+        interpret=interpret,
+    )(meta, rows)
+
+    def untile(a, l):
+        img = a[:, l].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H,
+                                                tiles_x * TILE_W)
+        return img[:height, :width].reshape(-1)
+
+    cam = jnp.asarray(cam_pos, jnp.float32)
+    overflow = jnp.int32(0)
+    outs = []
+    for l in range(layers):
+        tid_l = untile(tid, l)
+        b1_l = untile(b1, l)
+        b2_l = untile(b2, l)
+        w_l = untile(w, l)
+        found = tid_l >= 0
+        safe = jnp.maximum(tid_l, 0)
+        b0 = 1.0 - b1_l - b2_l
+        p_world = (b0[:, None] * v0[safe] + b1_l[:, None] * v1[safe] +
+                   b2_l[:, None] * v2[safe])
+        t = jnp.linalg.norm(p_world - cam, axis=-1)
+        t = jnp.where(found, t, BIG)
+        outs.append(RasterHits(t=t, tri=jnp.where(found, tid_l, -1),
+                               u=b1_l, v=b2_l, found=found, w_depth=w_l,
+                               overflow=overflow))
+    return outs

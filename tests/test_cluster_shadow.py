@@ -1,0 +1,109 @@
+"""Cluster shadow kernel (ops.cluster_shadow) vs brute-force records.
+
+The kernel must return, per origin, the nearest opaque hit t and the 4
+nearest translucent (t, id) pairs along the shared light direction —
+identical semantics to ops.rt_kernel.trace_shadow_factor (the caller's
+alpha-layer logic is shared). Interpret mode, subprocess.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+CODE = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax.numpy as jnp
+from swift_game_engine_tpu.ops.cluster_shadow import (build_shadow_clusters,
+                                                      trace_shadow_clusters)
+
+rng = np.random.default_rng(7)
+T = 500
+base = rng.uniform(-10, 10, (T, 3)).astype(np.float32)
+v0 = base
+v1 = base + rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+v2 = base + rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+translucent = rng.random(T) < 0.3
+l = np.array([-0.2, 1.0, -0.4], np.float32)
+l = l / np.linalg.norm(l)
+
+N = 700
+o = rng.uniform(-12, 12, (N, 3)).astype(np.float32)
+t_lim = np.full(N, 50.0, np.float32)
+t_lim[::13] = 0.0
+o[::13] = 1e9
+
+sc = build_shadow_clusters(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                           jnp.asarray(l), jnp.asarray(translucent))
+t_opq, ts, ids = trace_shadow_clusters(sc, jnp.asarray(o),
+                                       jnp.asarray(t_lim), n_slots=4,
+                                       interpret=True)
+t_opq = np.asarray(t_opq); ts = np.asarray(ts); ids = np.asarray(ids)
+
+e1 = v1 - v0; e2 = v2 - v0
+def brute(oi, tl):
+    if tl <= 0:
+        return np.inf, [], []
+    h = np.cross(np.broadcast_to(l, e2.shape), e2)
+    det = (e1 * h).sum(-1)
+    ok = np.abs(det) >= 1e-6
+    f = np.where(ok, 1.0 / np.where(ok, det, 1), 0)
+    tv = oi[None] - v0
+    u = (tv * h).sum(-1) * f
+    q = np.cross(tv, e1)
+    v = (np.broadcast_to(l, q.shape) * q).sum(-1) * f
+    t = (e2 * q).sum(-1) * f
+    hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+        (t > 1e-4) & (t < tl)
+    t_o = np.inf
+    tr = []
+    for j in np.nonzero(hit)[0]:
+        if translucent[j]:
+            tr.append((t[j], j))
+        else:
+            t_o = min(t_o, t[j])
+    tr.sort()
+    return t_o, [x[0] for x in tr[:4]], [x[1] for x in tr[:4]]
+
+bad = 0
+checked = 0
+for i in range(0, N, 3):
+    to_ref, ts_ref, ids_ref = brute(o[i], t_lim[i])
+    checked += 1
+    if t_lim[i] <= 0:
+        ok = (t_opq[i] == 0.0) and (ids[i] < 0).all()
+    else:
+        ok = True
+        if np.isinf(to_ref):
+            ok &= t_opq[i] > 1e30
+        else:
+            ok &= abs(t_opq[i] - to_ref) < 1e-3 * max(to_ref, 1)
+        # translucent slots beyond the nearest-opaque settlement bound may
+        # be pruned by the kernel (they can never be shaded) — compare only
+        # hits nearer than the opaque hit.
+        lim = min(to_ref, t_lim[i])
+        ref_near = [t for t in ts_ref if t < lim]
+        got = ts[i][ids[i] >= 0]
+        got_near = sorted(got[got < lim])
+        ok &= len(ref_near) == len(got_near) and np.allclose(
+            ref_near, got_near, rtol=1e-3, atol=1e-3)
+    if not ok:
+        bad += 1
+        if bad < 4:
+            print("MISMATCH", i, to_ref, t_opq[i], ts_ref, ts[i])
+print(f"checked={checked} bad={bad}")
+assert bad == 0
+print("OK")
+"""
+
+
+def test_cluster_shadow_records():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run([sys.executable, "-c", CODE], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    assert "OK" in proc.stdout
