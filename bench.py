@@ -30,13 +30,37 @@ def log(*a):
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-
     width = int(os.environ.get("BENCH_WIDTH", 960))
     height = int(os.environ.get("BENCH_HEIGHT", 540))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
+
+    # 1080p datapoint (secondary, every round): the north-star resolution.
+    # Runs FIRST, in a SUBPROCESS, before this process initializes the TPU:
+    # the axon tunnel serves one process at a time, and the backend faults
+    # when a second scene-sized program set (a 1080p engine next to the
+    # benchmark engine) loads into one live process.
+    if os.environ.get("BENCH_1080", "1") == "1" and (width, height) != (1920, 1080):
+        import subprocess
+        env = dict(os.environ, BENCH_WIDTH="1920", BENCH_HEIGHT="1080",
+                   BENCH_1080="0", BENCH_FRAMES=str(max(frames // 2, 3)))
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=900)
+            got = False
+            for line in r.stderr.splitlines():
+                if line.startswith("frames:"):
+                    log("1080p: " + line[len("frames:"):].strip())
+                    got = True
+            if not got:
+                log(f"1080p: probe failed (rc={r.returncode}): "
+                    + " | ".join(r.stderr.splitlines()[-2:]))
+        except subprocess.TimeoutExpired:
+            log("1080p: probe timed out")
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     layers = int(os.environ.get("BENCH_LAYERS", 3))
     shadow_layers = int(os.environ.get("BENCH_SHADOW_LAYERS", 4))
     path = os.environ.get("BENCH_PATH", "rt")
@@ -101,21 +125,6 @@ def main():
     rays_per_s = fps * px / 1e6
     log(f"frames: {fps:.3f} fps @ {width}x{height} ({wall/frames*1000:.0f} ms/frame, "
         f"{rays_per_s:.2f} Mprimary-rays/s, path={path})")
-
-    # 1080p datapoint (secondary, every round): the north-star resolution.
-    if os.environ.get("BENCH_1080", "1") == "1" and (width, height) != (1920, 1080):
-        eng1080 = Engine(scene, width=1920, height=1080, path=path,
-                         max_layers=layers, shadow_layers=shadow_layers,
-                         pipeline_depth=pipeline)
-        for i in range(pipeline + 1):  # compile + pipeline fill
-            eng1080.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
-        n1080 = max(frames // 2, 3)
-        t0 = time.time()
-        for i in range(n1080):
-            eng1080.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=False)
-        w1080 = time.time() - t0
-        log(f"1080p: {n1080/w1080:.3f} fps ({w1080/n1080*1000:.0f} ms/frame, "
-            f"path={path})")
 
     vs = fps * (px / (1920.0 * 1080.0)) / 60.0
     print(json.dumps({

@@ -109,8 +109,29 @@ _SO_KERNEL = os.environ.get("SGE_RT_SO", "1") == "1"
 _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 # Cluster shadow kernel (ops.cluster_shadow): shared-direction shadow
 # records from depth-sorted light-space clusters instead of a BVH walk.
-# Takes precedence over the shadow-factor walk when enabled.
-_SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "0") == "1"
+# Takes precedence over the shadow-factor walk when enabled. Default ON:
+# measured on one v5e @960x540 DemoScene bench (steady-state pipelined,
+# identical records): 3.60 fps vs 3.50 fps with the BVH-walk shadow kernel
+# — the depth-sorted cluster sweep with per-packet light-space AABB reject
+# replaces the serial packet walk; modest on the full frame because
+# visibility traces, not shadows, dominate at the current defaults.
+_SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "1") == "1"
+# Honor Material.unlit in the RT path: unlit hits shade as albedo+emissive
+# (the reference raster fragment shader's unlit branch,
+# ShadersRaster.metalinc:73-75) and cast NO shadow rays. The reference's
+# raytraceKernel does not consult unlit (RTInstanceInfo carries no such
+# field) and runs full PBR on everything — but the scene's translucent
+# collision-hull viz entities are authored unlit (DemoScene.swift:164,243),
+# so honoring the material model is the intended look AND removes the
+# dominant transparency-layer cost (hull layers need no GGX/shadow work).
+# SGE_RT_UNLIT=0 restores the reference kernel's shade-everything behavior.
+_UNLIT_FAST = os.environ.get("SGE_RT_UNLIT", "1") == "1"
+# Consolidated per-hit gathers: read uv corners + material id + unlit from
+# the static (T,8) tri_shade row and the face normal from the per-frame
+# (T,3) table instead of 7 separate vertex-indirection gathers. Measured
+# on one v5e @960x540 DemoScene bench: 3.64 -> 4.14 fps (the largest of
+# the three round-3 shade-path levers; full stack 3.50 -> 4.14 fps).
+_SROW = os.environ.get("SGE_RT_SROW", "1") == "1"
 
 
 # Chunked compaction: work that touches a small, scattered subset of lanes
@@ -265,13 +286,14 @@ def _interp(attr, tri_v, u, v):
         + attr[tri_v[:, 2]] * v[..., None]
 
 
-def _sample_material(geo: SceneGeometry, tri, uv, usage):
+def _sample_material(geo: SceneGeometry, mid, uv, usage, unlit=None):
     """PBR material sample per hit (RayTracing.metalinc:132-176).
 
-    ``usage`` (static TextureUsage) prunes texture taps for slots no scene
-    material binds — each bilinear sample is 4 HBM gathers per lane."""
+    ``mid`` is the per-lane material id (callers read it from the
+    tri_shade row — see SceneGeometry.tri_shade). ``usage`` (static
+    TextureUsage) prunes texture taps for slots no scene material binds —
+    each bilinear sample is 4 HBM gathers per lane."""
     mats = geo.materials
-    mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
     row = mats.packed[mid]                      # (P,16): ONE gather per hit
     base = row[..., 0:3]
     alpha = jnp.clip(row[..., 3], 0.0, 1.0)
@@ -310,7 +332,8 @@ def _sample_material(geo: SceneGeometry, tri, uv, usage):
                 emissive=emissive, occlusion=occlusion,
                 transmission=transmission, ior=ior,
                 normal_tex=normal_tex,
-                normal_scale=normal_scale, mid=mid)
+                normal_scale=normal_scale, mid=mid,
+                unlit=mats.unlit[mid] if unlit is None else unlit)
 
 
 def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
@@ -318,12 +341,21 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
     base texture carries alpha < 1 the material factor alone is exact and
     the 4-tap texture gather is skipped (static specialization)."""
     mats = geo.materials
-    mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
+    if _SROW:
+        srow = geo.tri_shade[jnp.maximum(tri, 0)]   # one gather: uvs + mid
+        mid = srow[:, 6].astype(jnp.int32)
+    else:
+        mid = jnp.maximum(geo.tri_material[jnp.maximum(tri, 0)], 0)
     alpha = jnp.clip(mats.alpha[mid], 0.0, 1.0)
     if not (usage.base and usage.alpha_tex):
         return alpha
-    tri_v = geo.tri[jnp.maximum(tri, 0)]
-    uv = _interp(geo.uv, tri_v, u, v)
+    if _SROW:
+        w = (1.0 - u - v)[..., None]
+        uv = srow[:, 0:2] * w + srow[:, 2:4] * u[..., None] \
+            + srow[:, 4:6] * v[..., None]
+    else:
+        tri_v = geo.tri[jnp.maximum(tri, 0)]
+        uv = _interp(geo.uv, tri_v, u, v)
     base_t = _sparse_tap(geo.textures, mats.base_tex[mid], uv, jnp.ones(4))
     return alpha * base_t[..., 3]
 
@@ -458,17 +490,30 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         usage = FULL_USAGE
     t_hit = jnp.where(active, t_hit, 1.0)
     safe_tri = jnp.maximum(tri, 0)
-    tri_v = geo.tri[safe_tri]
-    w0 = fg.pos[tri_v[:, 0]]
-    w1 = fg.pos[tri_v[:, 1]]
-    w2 = fg.pos[tri_v[:, 2]]
-    n_geom = normalize(jnp.cross(w1 - w0, w2 - w0))
+    if _SROW:
+        # Two dense gathers per hit replace seven: the per-frame face normal
+        # (fg.tri_nrm) and the static shade row (uv corners + material id +
+        # unlit; SceneGeometry.tri_shade).
+        srow = geo.tri_shade[safe_tri]
+        n_geom = fg.tri_nrm[safe_tri]
+        wbar = (1.0 - u - v)[..., None]
+        uv = srow[:, 0:2] * wbar + srow[:, 2:4] * u[..., None] \
+            + srow[:, 4:6] * v[..., None]
+        mid = srow[:, 6].astype(jnp.int32)
+        unlit = srow[:, 7] > 0.5
+    else:
+        tri_v = geo.tri[safe_tri]
+        w0 = fg.pos[tri_v[:, 0]]
+        w1 = fg.pos[tri_v[:, 1]]
+        w2 = fg.pos[tri_v[:, 2]]
+        n_geom = normalize(jnp.cross(w1 - w0, w2 - w0))
+        uv = _interp(geo.uv, tri_v, u, v)
+        mid = jnp.maximum(geo.tri_material[safe_tri], 0)
+        unlit = None
     n_geom = jnp.where(jnp.sum(n_geom * ray_d, axis=-1, keepdims=True) > 0,
                        -n_geom, n_geom)
-
     view = normalize(-ray_d)
-    uv = _interp(geo.uv, tri_v, u, v)
-    m = _sample_material(geo, tri, uv, usage)
+    m = _sample_material(geo, mid, uv, usage, unlit=unlit)
 
     # Tangent-space normal mapping (RayTracing.metalinc:283-316),
     # chunk-compacted to the lanes whose material binds a normal map — the
@@ -479,7 +524,7 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 
         def nm_body(idx, valid, n_out):
             safe = jnp.minimum(idx, pshape - 1)
-            tv = tri_v[safe]
+            tv = geo.tri[safe_tri[safe]]   # vertex gathers only on the chunk
             uc, vc = u[safe], v[safe]
             n_vert = normalize(_interp(fg.nrm, tv, uc, vc))
             tan4 = _interp(fg.tan, tv, uc, vc)
@@ -506,11 +551,18 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
     direct = jnp.zeros_like(hit_pos)
     n_lights = lights.direction.shape[0]
     cam_dist = jnp.linalg.norm(hit_pos - cam_pos, axis=-1)
+    # Unlit fast path (see _UNLIT_FAST): unlit lanes leave every light's
+    # gate, so a chunk of pure-hull hits (transparency layers 2+) runs NO
+    # shadow walk at all — its shadow packets enter fully dead and exit on
+    # the first traversal step.
+    lit = jnp.logical_not(m["unlit"]) if _UNLIT_FAST else \
+        jnp.ones_like(active)
     for i in range(n_lights):
         max_dist = jnp.where(lights.max_distance[i] > 0, lights.max_distance[i], 1e6)
         l = normalize(-lights.direction[i])
         ndotl = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
-        gate = active & lights.enabled[i] & (cam_dist <= max_dist) & (ndotl > 0)
+        gate = active & lit & lights.enabled[i] & (cam_dist <= max_dist) \
+            & (ndotl > 0)
         if i == 0:
             shadow = _shadow_factor(geo, fg, hit_pos, n, lights.direction[i],
                                     max_dist, bias, gate, shadow_layers,
@@ -531,6 +583,11 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         spec = eval_spec_ibl(n, view, m["roughness"], m["metallic"], m["base"],
                              ibl.brdf_lut)
         color = color + spec * m["occlusion"][..., None]
+    if _UNLIT_FAST:
+        # albedo + emissive, exactly the raster unlit branch
+        # (ShadersRaster.metalinc:73-75).
+        color = jnp.where(m["unlit"][..., None],
+                          m["base"] + m["emissive"], color)
     color = jnp.where(active[..., None], color, 0.0)
     return color, m, n, hit_pos, bias
 

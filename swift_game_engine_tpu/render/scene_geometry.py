@@ -134,6 +134,10 @@ class SceneGeometry(NamedTuple):
     # (T,) bool: triangle's material can pass light (alpha factor < 1 or a
     # base texture with real alpha) — drives the shadow any-hit prepass.
     tri_translucent: jnp.ndarray
+    # (T,8) f32 static per-triangle shade row — ONE gather per hit replaces
+    # four (tri indices + 3 per-vertex uv gathers + material id):
+    # [uv0.x, uv0.y, uv1.x, uv1.y, uv2.x, uv2.y, material id, unlit flag]
+    tri_shade: jnp.ndarray
 
 
 @dataclass
@@ -338,6 +342,14 @@ class RenderGeometryBuilder:
             trans_mat = trans_mat | (has_tex & (amin[np.maximum(mat_base_tex, 0)] < 0.999))
         tri_translucent = trans_mat[np.maximum(tri_mat, 0)]
 
+        safe_mat = np.maximum(tri_mat, 0)
+        unlit_tri = np.asarray(table.unlit)[safe_mat].astype(np.float32)
+        tri_shade = np.concatenate([
+            uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]],
+            safe_mat[:, None].astype(np.float32),
+            unlit_tri[:, None],
+        ], axis=1).astype(np.float32)
+
         return SceneGeometry(
             static_pos=jnp.asarray(static_pos),
             static_nrm=jnp.asarray(static_nrm),
@@ -352,16 +364,21 @@ class RenderGeometryBuilder:
             n_static_verts=n_static,
             topo=topo,
             tri_translucent=jnp.asarray(tri_translucent),
+            tri_shade=jnp.asarray(tri_shade),
         )
 
 
 class FrameGeometry(NamedTuple):
     """Per-frame world-space arrays + refit BVH."""
 
-    pos: jnp.ndarray    # (V,3) world
-    nrm: jnp.ndarray    # (V,3) world (plain 3x3 transform, like the reference)
-    tan: jnp.ndarray    # (V,4) world xyz + sign
+    pos: jnp.ndarray      # (V,3) world
+    nrm: jnp.ndarray      # (V,3) world (plain 3x3 transform, like the reference)
+    tan: jnp.ndarray      # (V,4) world xyz + sign
     bvh: B.BVHArrays
+    # (T,3) unit geometric face normal — one dense (T,) pass per frame so a
+    # hit's normal is ONE gather instead of tri indices + 3 vertex gathers
+    # + a per-lane cross product.
+    tri_nrm: jnp.ndarray
 
 
 def flatten_frame(geo: SceneGeometry, instance_transforms, palettes) -> FrameGeometry:
@@ -402,4 +419,7 @@ def flatten_frame(geo: SceneGeometry, instance_transforms, palettes) -> FrameGeo
     v2 = pos_w[geo.tri[:, 2]]
     bvh_arrays = B.refit(geo.topo, v0, v1, v2,
                          translucent=geo.tri_translucent)
-    return FrameGeometry(pos=pos_w, nrm=nrm_w, tan=tan_w, bvh=bvh_arrays)
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    return FrameGeometry(pos=pos_w, nrm=nrm_w, tan=tan_w, bvh=bvh_arrays,
+                         tri_nrm=fn)

@@ -83,6 +83,43 @@ def test_rt_emissive_unshaded(scene):
     assert right[:, 0].max() > 1.5  # emissive 3.0 shows pre-tonemap
 
 
+def test_rt_unlit_material_shades_flat(scene):
+    """Material.unlit shades as albedo+emissive with no lighting (the raster
+    fragment shader's unlit branch, ShadersRaster.metalinc:73-75) and casts
+    the layer's alpha unchanged. The reference RT kernel shades everything,
+    but the material model is authoritative for unlit-authored content (the
+    collision-hull viz); see rt._UNLIT_FAST."""
+    import os
+    if os.environ.get("SGE_RT_UNLIT", "1") != "1":
+        pytest.skip("unlit fast path disabled")
+    b = RenderGeometryBuilder(texture_size=16)
+    b.add_static_mesh(pm.plane(40.0), Material(
+        name="ground", base_color_factor=(0.3, 0.3, 0.3), roughness_factor=0.9),
+        instance=0)
+    b.add_static_mesh(pm.box(3.0), Material(
+        name="flat", base_color_factor=(0.2, 0.7, 0.2), unlit=True),
+        instance=1)
+    geo = b.build()
+    tf = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    tf[1, :3, 3] = [0, 1.5, 0]
+    fg = flatten_frame(geo, jnp.asarray(tf), jnp.zeros((1, 1, 4, 4)))
+    cam = Camera()
+    cam.position = np.array([0.0, 4.0, 10.0], np.float32)
+    cam.target = np.array([0.0, 1.0, 0.0], np.float32)
+    ivp = cam.inv_view_proj(W, H)
+    ibl = IBL.build()
+    lights = RT.DirectionalLights.default_sun()
+    img = np.asarray(jax.jit(lambda: RT.render_frame(
+        geo, fg, ibl, lights, ivp, cam.position, W, H,
+        max_layers=1, shadow_layers=2))())
+    # every visible box pixel is EXACTLY the albedo (pre-dither):
+    # no shading gradient across faces, no shadowing, no specular
+    center = img[H // 2 - 3:H // 2 + 3, W // 2 - 3:W // 2 + 3]
+    np.testing.assert_allclose(center, np.broadcast_to([0.2, 0.7, 0.2],
+                                                       center.shape),
+                               atol=0.01)
+
+
 def test_rt_textured_material():
     """Texture taps behind the runtime any-lane gate still sample correctly."""
     from swift_game_engine_tpu.assets.procedural_textures import checkerboard
