@@ -5,6 +5,10 @@ config per process:
   SGE_RT_INTERVAL=1 python examples/prof_trace.py 960x540
   SGE_RT_INTERVAL=0 SGE_RT_ORDERED=1 python examples/prof_trace.py 960x540
 
+SGE_PROF_KERNEL=so times the shared-origin kernel (trace_rays_so) instead
+of the general packet kernel. SGE_PROF_CAM="x,y,z[,tx,ty,tz]" overrides the
+camera so kernels compare at identical views.
+
 Prints trace time, Mrays/s, and a hit checksum (sum of t at hits + hit
 count) for cross-kernel parity.
 """
@@ -44,6 +48,12 @@ def main():
 
     cam = Camera()
     cam.position = np.array([0.0, 2.0, 18.0], np.float32)
+    cam_env = os.environ.get("SGE_PROF_CAM")
+    if cam_env:
+        vals = [float(x) for x in cam_env.split(",")]
+        cam.position = np.array(vals[:3], np.float32)
+        if len(vals) >= 6:
+            cam.target = np.array(vals[3:6], np.float32)
     transforms, palettes = stepper.extract(state, 0.0,
                                            cam.world_position.astype(np.float32))
     t0 = time.time()
@@ -65,10 +75,23 @@ def main():
 
     # rows passes as an ARGUMENT (a closure capture would embed an 8 MB
     # constant into the program — pathological compile on the tunnel).
-    fn = jax.jit(lambda rws, o, d, tm: K.trace_rays_pallas(
-        K.KernelBVH(rows=rws, n_nodes=n_nodes), o, d, tm))
+    use_so = os.environ.get("SGE_PROF_KERNEL", "plain") == "so"
+    cam_pos = jnp.asarray(cam.position)
+    if use_so:
+        so_rows = jax.jit(lambda r: K.build_origin_rows(r, cam_pos))(rows)
+        jax.block_until_ready(so_rows[0])
+
+        def fn(rws, o, d, tm):
+            return K.trace_rays_so(rws, cam_pos, d, tm)
+        trace_args = (so_rows, ray_o, ray_d, t_max)
+    else:
+        def fn(rws, o, d, tm):
+            return K.trace_rays_pallas(
+                K.KernelBVH(rows=rws, n_nodes=n_nodes), o, d, tm)
+        trace_args = (rows, ray_o, ray_d, t_max)
+    jfn = jax.jit(fn)
     t0 = time.time()
-    t, tri = jax.block_until_ready(fn(rows, ray_o, ray_d, t_max))
+    t, tri = jax.block_until_ready(jfn(*trace_args))
     print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
     hits = np.asarray(tri) >= 0
     tsum = float(np.asarray(t)[hits].sum())
@@ -80,15 +103,13 @@ def main():
     @jax.jit
     def multi(rws, o, d, tm):
         def body(i, acc):
-            t, tri = K.trace_rays_pallas(
-                K.KernelBVH(rows=rws, n_nodes=n_nodes), o,
-                d, tm + 0.0 * i)
+            t, tri = fn(rws, o, d, tm + 0.0 * i)
             return acc + jnp.sum(jnp.where(tri >= 0, t, 0.0))
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-    acc = jax.block_until_ready(multi(rows, ray_o, ray_d, t_max))  # compile
+    acc = jax.block_until_ready(multi(*trace_args))  # compile
     t0 = time.time()
-    acc = jax.block_until_ready(multi(rows, ray_o, ray_d, t_max))
+    acc = jax.block_until_ready(multi(*trace_args))
     dt = (time.time() - t0 - 0.027) / REPS
     print(f"trace: {dt*1e3:.1f} ms  {n/dt/1e6:.2f} Mrays/s  "
           f"hits={int(hits.sum())} tsum={tsum:.3f} acc={float(acc):.1f}",

@@ -1499,6 +1499,220 @@ def trace_rays_so(origin_rows, o, d, t_max, t_floor=None,
     return t.reshape(-1)[:n], tri.reshape(-1)[:n]
 
 
+def _kernel_layers_so(header_ref, origin_ref, srows_ref,
+                      dx_ref, dy_ref, dz_ref, tmax_ref,
+                      topq_out, otri_out, ts_out, ids_out, stack_ref, *,
+                      n_slots: int):
+    """ONE near-first ordered shared-origin walk -> per lane: the nearest
+    OPAQUE hit (t, id) plus the ``n_slots`` nearest TRANSLUCENT (t, id)
+    pairs in front of it (sorted ascending by the insertion network).
+
+    This collapses the whole transparency cascade — a dense primary trace
+    plus up to (max_layers-1) chunk-compacted continuation re-traces of the
+    SAME camera rays with rising t floors (see rt._render_rays) — into a
+    single traversal: the front-to-back layer sequence is by definition the
+    sorted translucent hits nearer than the nearest opaque hit, then that
+    opaque hit. Layer semantics (alpha accumulation, 0.99 saturation, the
+    2*bias continuation skip) are applied elementwise on the records by the
+    caller, exactly like the shadow-factor kernel's contract.
+
+    The per-lane prune bound is min(t_max, t_opq, last translucent slot):
+    weaker than a closest-hit walk's t_best wherever a lane still has open
+    translucent slots, but those extra visited nodes are the ones the
+    continuation re-traces would have re-walked from the root anyway."""
+    ox = origin_ref[0]
+    oy = origin_ref[1]
+    oz = origin_ref[2]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def safe_inv(v):
+        tiny = jnp.abs(v) < 1e-12
+        vs = jnp.where(tiny, jnp.where(v < 0, -1e-12, 1e-12), v)
+        return 1.0 / vs
+
+    inv_x = safe_inv(dx)
+    inv_y = safe_inv(dy)
+    inv_z = safe_inv(dz)
+
+    t0 = tmax_ref[0]
+    bigv = jnp.full(t0.shape, BIG, jnp.float32)
+    # inactive lanes (t_max <= 0) start settled: no box test ever passes
+    topq0 = jnp.where(t0 <= 0.0, 0.0, bigv)
+    none0 = jnp.full(t0.shape, -1.0, jnp.float32)
+
+    def slab(node, bound):
+        tx0 = (header_ref[node * 8 + 0] - ox) * inv_x
+        tx1 = (header_ref[node * 8 + 3] - ox) * inv_x
+        ty0 = (header_ref[node * 8 + 1] - oy) * inv_y
+        ty1 = (header_ref[node * 8 + 4] - oy) * inv_y
+        tz0 = (header_ref[node * 8 + 2] - oz) * inv_z
+        tz1 = (header_ref[node * 8 + 5] - oz) * inv_z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bound)
+        return box_hit, tmin
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        node, sp = c[0], c[1]
+        t_opq, tri_opq = c[2], c[3]
+        ts = list(c[4:4 + n_slots])
+        ids = list(c[4 + n_slots:])
+        bound = jnp.minimum(jnp.minimum(t0, t_opq), ts[n_slots - 1])
+
+        hdr7 = header_ref[node * 8 + 7]
+        is_leaf = hdr7 > 0.5
+
+        def do_leaf(args):
+            t_opq, tri_opq = args[0], args[1]
+            ts = list(args[2:2 + n_slots])
+            ids = list(args[2 + n_slots:])
+            box_hit, _ = slab(node, bound)
+            leaf_slot = hdr7.astype(jnp.int32) - 1
+            row = srows_ref[pl.ds(leaf_slot, 1), :]
+
+            def s(k):
+                return row[0, k]
+
+            ids_base = SO_SLOT_F * SLOT_N
+            for j in range(SLOT_N):
+                base = SO_SLOT_F * j
+                tri_id = row[0, ids_base + j]
+                un = dx * s(base + 0) + dy * s(base + 1) + dz * s(base + 2)
+                vn = dx * s(base + 3) + dy * s(base + 4) + dz * s(base + 5)
+                dn = dx * s(base + 6) + dy * s(base + 7) + dz * s(base + 8)
+                tn = s(base + 9)
+                sgn = jnp.where(dn < 0, -1.0, 1.0)
+                dnp = dn * sgn
+                un_s = un * sgn
+                vn_s = vn * sgn
+                tn_s = tn * sgn
+                t = tn_s / jnp.where(dnp >= EPS, dnp, 1.0)
+                hit = (tri_id >= 0) & (dnp >= EPS) & (un_s >= 0) & \
+                    (un_s <= dnp) & (vn_s >= 0) & (un_s + vn_s <= dnp) & \
+                    (tn_s > 1e-4 * dnp) & (t < bound) & box_hit
+                opaque = tri_id == jnp.floor(tri_id)
+                owin = hit & opaque & (t < t_opq)
+                t_opq = jnp.where(owin, t, t_opq)
+                tri_opq = jnp.where(owin, tri_id, tri_opq)
+                ct = jnp.where(hit & ~opaque, t, BIG)
+                cid = jnp.where(hit & ~opaque, tri_id, -1.0)
+                for k in range(n_slots):
+                    win = ct < ts[k]
+                    nt = jnp.where(win, ct, ts[k])
+                    nid = jnp.where(win, cid, ids[k])
+                    ct, cid = (jnp.where(win, ts[k], ct),
+                               jnp.where(win, ids[k], cid))
+                    ts[k], ids[k] = nt, nid
+            return (t_opq, tri_opq) + tuple(ts) + tuple(ids)
+
+        out = jax.lax.cond(is_leaf, do_leaf, lambda a: a,
+                           (t_opq, tri_opq) + tuple(ts) + tuple(ids))
+        t_opq, tri_opq = out[0], out[1]
+        ts = list(out[2:2 + n_slots])
+        ids = list(out[2 + n_slots:])
+
+        left = node + 1
+        big = jnp.float32(3.0e38)
+
+        def child_keys(_):
+            r = header_ref[left * 8 + 6].astype(jnp.int32)
+            bh_l, tmin_l = slab(left, bound)
+            bh_r, tmin_r = slab(r, bound)
+            key_l = jnp.min(jnp.where(bh_l, tmin_l, big))
+            key_r = jnp.min(jnp.where(bh_r, tmin_r, big))
+            return r, key_l, key_r
+
+        right, key_l, key_r = jax.lax.cond(
+            is_leaf, lambda _: (jnp.int32(0), big, big), child_keys, 0)
+
+        hit_l = key_l < big
+        hit_r = key_r < big
+        both = hit_l & hit_r
+        near = jnp.where(key_l <= key_r, left, right)
+        far = left + right - near
+
+        @pl.when(both)
+        def _():
+            stack_ref[jnp.minimum(sp, _STACK_MAX - 1)] = far
+
+        sp = jnp.minimum(sp + both.astype(jnp.int32), _STACK_MAX - 1)
+        descend = (~is_leaf) & (hit_l | hit_r)
+        do_pop = jnp.logical_not(descend)
+        sp_pop = sp - do_pop.astype(jnp.int32)
+        popped = stack_ref[jnp.maximum(sp_pop, 0)]
+        node = jnp.where(descend,
+                         jnp.where(both, near, jnp.where(hit_l, left, right)),
+                         jnp.where(sp_pop >= 0, popped, -1))
+        return (node, jnp.maximum(sp_pop, 0), t_opq, tri_opq) + \
+            tuple(ts) + tuple(ids)
+
+    init = (jnp.int32(0), jnp.int32(0), topq0, none0) + \
+        tuple(bigv for _ in range(n_slots)) + \
+        tuple(none0 for _ in range(n_slots))
+    out = jax.lax.while_loop(cond, body, init)
+    topq_out[0] = out[2]
+    otri_out[0] = out[3].astype(jnp.int32)
+    for k in range(n_slots):
+        ts_out[0, k] = out[4 + k]
+        ids_out[0, k] = out[4 + n_slots + k]
+
+
+def trace_layers_so(origin_rows, o, d, t_max, n_slots: int = 3,
+                    interpret: bool = False):
+    """Layered closest-hit records for rays sharing origin ``o``: one walk
+    -> (t_opq (N,), tri_opq (N,) int32, ts (N, n_slots), ids (N, n_slots)
+    float, translucent +0.5 marker preserved). Inactive lanes: t_max <= 0.
+    See _kernel_layers_so."""
+    header, srows = origin_rows
+    n = d.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]),
+                                         (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
+    nb = d.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb, _SUB, 128)
+
+    rays = [comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+            comp(jnp.asarray(t_max, jnp.float32))]
+    node_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((1, n_slots, _SUB, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    topq, otri, ts, ids = pl.pallas_call(
+        partial(_kernel_layers_so, n_slots=n_slots),
+        grid=(nb,),
+        in_specs=[smem_spec, smem_spec, node_spec] + [ray_spec] * 4,
+        out_specs=(ray_spec, ray_spec, slot_spec, slot_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((_STACK_MAX,), jnp.int32)],
+        interpret=interpret,
+    )(header, jnp.asarray(o, jnp.float32), srows, *rays)
+    topq = topq.reshape(-1)[:n]
+    otri = otri.reshape(-1)[:n]
+    ts = ts.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    ids = ids.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
+    return topq, otri, ts, ids
+
+
 def _kernel(rows_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmax_ref, t_out, tri_out):
     ox = ox_ref[0]

@@ -40,9 +40,9 @@ def _raster_shade(geo: SceneGeometry, fg: FrameGeometry, o, d, t, tri, u, v,
     safe_tri = jnp.maximum(tri, 0)
     tri_v = geo.tri[safe_tri]
     uv = _interp(geo.uv, tri_v, u, v)
-    m = _sample_material(geo, tri, uv, usage)
+    mid = jnp.maximum(geo.tri_material[safe_tri], 0)
+    m = _sample_material(geo, mid, uv, usage)
     mats = geo.materials
-    mid = m["mid"]
 
     albedo = m["base"]
     alpha = m["alpha"]

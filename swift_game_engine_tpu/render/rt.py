@@ -150,6 +150,22 @@ _CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
 # refraction): gather whole live packets instead of scattered lanes so the
 # retrace stays tile-coherent (see _chunked_packets). 0 = lane compaction.
 _PACKET_COMPACT = os.environ.get("SGE_RT_PACKET_COMPACT", "1") == "1"
+# Layered shared-origin trace (ops.rt_kernel.trace_layers_so): ONE ordered
+# walk yields the nearest opaque hit + the (max_layers-1 .. max_layers)
+# nearest translucent hits per lane, so the primary trace AND every
+# transparency continuation re-trace collapse into a single kernel; layer
+# semantics (alpha accumulation, saturation, 2*bias skip) run elementwise
+# on the records. Shading still runs per layer (dense L1, chunked L2+).
+_LAYERED = os.environ.get("SGE_RT_LAYERED", "1") == "1"
+# Translucent record slots for the layered walk. The walk's per-lane prune
+# bound is min(t_max, t_opq, ts[slots-1]), so FEWER slots = tighter bound =
+# fewer visited nodes. slots = max_layers reproduces the continuation loop
+# for every input; slots = max_layers-1 still covers the common worst case
+# (a ray crosses one convex hull shell: 2 translucent + 1 opaque layer) and
+# only diverges when >= max_layers translucent surfaces stack in front of
+# the opaque hit (then the last layer shades the opaque early). 0 = auto
+# (max_layers).
+_LAYER_SLOTS = int(os.environ.get("SGE_RT_LAYER_SLOTS", "0"))
 
 
 def _chunked_trace(mask, body, carry, cap_lanes):
@@ -837,6 +853,68 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
         next_o = hit_pos + d_l * (bias * 2.0)[..., None]
         return color, contrib, next_o
+
+    # ---- layered shared-origin path: ONE walk yields every layer's hit
+    # records; no continuation re-traces exist at all (see _LAYERED).
+    if so_rows is not None and _LAYERED and peels is None and primary is None:
+        from ..ops.rt_kernel import (trace_layers_so, barycentrics,
+                                     BIG as KBIG)
+        interp = jax.default_backend() != "tpu"
+        t_opq, otri, lts, lids = trace_layers_so(
+            so_rows, cam, d, jnp.full(p, KBIG, jnp.float32),
+            n_slots=max_layers, interpret=interp)
+        opq_ok = t_opq < KBIG
+
+        accum = jnp.zeros((p, 3))
+        accum_alpha = jnp.zeros(p)
+        floor = jnp.zeros(p)
+        for layer in range(max_layers):
+            # next record past the floor: smallest translucent t in
+            # (floor, t_opq), else the opaque hit if it clears the floor.
+            tn = jnp.full(p, KBIG)
+            idn = jnp.full(p, -1.0)
+            for k in reversed(range(max_layers)):
+                ok = (lids[:, k] >= 0) & (lts[:, k] > floor) & \
+                    (lts[:, k] < t_opq)
+                tn = jnp.where(ok, lts[:, k], tn)
+                idn = jnp.where(ok, lids[:, k], idn)
+            use_opq = opq_ok & (t_opq > floor) & (tn >= KBIG)
+            t_l = jnp.where(use_opq, t_opq, tn)
+            tri_l = jnp.where(use_opq, otri,
+                              jnp.floor(idn).astype(jnp.int32))
+            found_l = use_opq | (tn < KBIG)
+            t_l = jnp.where(found_l, t_l, BIG)
+            tri_l = jnp.where(found_l, tri_l, -1)
+            floor = jnp.where(found_l, t_l + 2.0 * shadow_bias(t_l), floor)
+
+            if layer == 0:
+                u_l, v_l, _ = barycentrics(fg.bvh, ray_o, d, t_l, tri_l)
+                color, contrib, _ = shade_layer(ray_o, d, t_l, tri_l,
+                                                u_l, v_l, found_l,
+                                                accum_alpha)
+                accum = color * contrib[..., None]
+                accum_alpha = contrib
+                continue
+
+            def chunk(idx, valid, carry, _t=t_l, _tri=tri_l):
+                accum, accum_alpha = carry
+                safe = jnp.minimum(idx, p - 1)
+                oc = ray_o[safe]
+                dc = d[safe]
+                tc = jnp.where(valid, _t[safe], 1.0)
+                tric = jnp.where(valid, _tri[safe], -1)
+                uc, vc, _ = barycentrics(fg.bvh, oc, dc, tc, tric)
+                color, contrib, _ = shade_layer(oc, dc, tc, tric, uc, vc,
+                                                valid, accum_alpha[safe])
+                accum = accum.at[idx].add(color * contrib[..., None])
+                accum_alpha = accum_alpha.at[idx].add(contrib)
+                return accum, accum_alpha
+
+            accum, accum_alpha = _chunked(
+                found_l & (accum_alpha < 0.99), chunk,
+                (accum, accum_alpha), cap=_CHUNK)
+
+        return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
 
     # ---- layer 1: dense over every ray (or pre-rasterized hit records).
     if peels is not None:

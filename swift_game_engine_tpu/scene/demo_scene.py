@@ -290,7 +290,6 @@ class DemoScene:
             s = np.where(s > 0, s, 1.0)
             rot3 = basis / s
             from ..assets.nputil import quat_from_mat
-            q = quat_from_mat(np.eye(4) * 1.0 + 0.0 * np.eye(4)) if False else None
             m4 = np.eye(4, dtype=np.float32)
             m4[:3, :3] = rot3
             q = quat_from_mat(m4)

@@ -69,6 +69,14 @@ def test_raster_frame_matches_material_model(scene):
     # unlit emissive box on the right edge of view should be bright red
     right = img[:, int(W * 0.85):].reshape(-1, 3)
     assert right[:, 0].max() > 0.9
+    # Material binding regression (materials must be indexed by the
+    # MATERIAL id of the hit triangle, not its triangle id): the ground
+    # plane spans triangle ids 0..1 but is all material 0 — every bottom-row
+    # pixel must be neutral gray (r == g == b for the gray albedo under the
+    # white wrap light), never the red box / glow materials.
+    bottom = img[-3:].reshape(-1, 3)
+    np.testing.assert_allclose(bottom[:, 0], bottom[:, 1], atol=1e-5)
+    np.testing.assert_allclose(bottom[:, 1], bottom[:, 2], atol=1e-5)
 
 
 def test_rt_emissive_unshaded(scene):
