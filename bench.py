@@ -42,7 +42,8 @@ def main():
     if os.environ.get("BENCH_1080", "1") == "1" and (width, height) != (1920, 1080):
         import subprocess
         env = dict(os.environ, BENCH_WIDTH="1920", BENCH_HEIGHT="1080",
-                   BENCH_1080="0", BENCH_FRAMES=str(max(frames // 2, 3)))
+                   BENCH_1080="0", BENCH_FRAMES=str(max(frames // 2, 3)),
+                   BENCH_PHYSICS="0")
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
@@ -88,28 +89,33 @@ def main():
     # physics-only throughput (secondary). Scan-fused: device throughput of
     # the substep program, not per-dispatch tunnel latency (the axon tunnel
     # costs ~27 ms/dispatch; production frames are one fused program anyway).
-    import jax.numpy as jnp
-    n_sim = 120
+    # Skippable (BENCH_PHYSICS=0): the axon backend faults when a second
+    # scene-sized program set loads into a live process that already holds
+    # a 1080p frame program — the 1080p secondary probe only needs frames.
+    if os.environ.get("BENCH_PHYSICS", "1") == "1":
+        import jax.numpy as jnp
+        n_sim = 120
 
-    @jax.jit
-    def sim_chunk(st):
-        def body(st, _):
-            return eng.stepper._substep_impl(st, jnp.float32(1.0 / 60.0)), 0
-        st, _ = jax.lax.scan(body, st, None, length=n_sim)
-        return st
+        @jax.jit
+        def sim_chunk(st):
+            def body(st, _):
+                return (eng.stepper._substep_impl(st, jnp.float32(1.0 / 60.0)),
+                        0)
+            st, _ = jax.lax.scan(body, st, None, length=n_sim)
+            return st
 
-    jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
-    t0 = time.time()
-    end_state = sim_chunk(eng.state)
-    jax.block_until_ready(end_state.body_pos)
-    sim_dt = time.time() - t0
-    log(f"physics: {n_sim/sim_dt:.1f} substeps/s ({sim_dt/n_sim*1000:.2f} ms/substep)")
-    # per-substep collision stats (CollisionQueryStats analog): counters for
-    # the LAST substep, reset per refresh.
-    qc = np.asarray(end_state.ctrl.query_candidates)
-    qs = np.asarray(end_state.ctrl.query_casts)
-    log(f"collision stats (last substep): casts={int(qs.sum())} "
-        f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
+        jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
+        t0 = time.time()
+        end_state = sim_chunk(eng.state)
+        jax.block_until_ready(end_state.body_pos)
+        sim_dt = time.time() - t0
+        log(f"physics: {n_sim/sim_dt:.1f} substeps/s ({sim_dt/n_sim*1000:.2f} ms/substep)")
+        # per-substep collision stats (CollisionQueryStats analog): counters
+        # for the LAST substep, reset per refresh.
+        qc = np.asarray(end_state.ctrl.query_candidates)
+        qs = np.asarray(end_state.ctrl.query_casts)
+        log(f"collision stats (last substep): casts={int(qs.sum())} "
+            f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
 
     # full frames — steady-state pipelined throughput (pipeline warm-up
     # frames are excluded; frame N's image fetch overlaps frame N+1's

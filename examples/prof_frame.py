@@ -1,12 +1,14 @@
-"""Full-frame RT configs, device time via scan-slope (tunnel cancels):
+"""Scan-fused full-frame timing under the CURRENT env config.
 
-  trace   — BVH packet kernels for everything (round-2 default)
-  peels   — cluster-raster visibility for all layers; BVH only for
-            shadow / mirror / refraction
-  peels+cs — peels + cluster shadow kernel (no BVH for shadows either)
+The axon tunnel costs ~27 ms per jit dispatch, so per-pass timings from
+repeated dispatches overstate small passes; this probe times REPS whole
+frames inside ONE jit (threading the loop index through cam_pos so XLA
+cannot hoist the body) and reports device ms/frame.
 
-Usage: python examples/prof_frame.py [WxH] [n_slope]
+Usage: [env knobs] python examples/prof_frame.py [WxH] [reps]
+  e.g. SGE_RT_PRIMARY=peels python examples/prof_frame.py 960x540
 """
+import os
 import sys
 import time
 
@@ -18,78 +20,64 @@ sys.path.insert(0, ".")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from swift_game_engine_tpu.scene.demo_scene import DemoScene
+from swift_game_engine_tpu.render import rt as RT
 from swift_game_engine_tpu.render.scene_geometry import flatten_frame
 from swift_game_engine_tpu.render.camera import Camera
-from swift_game_engine_tpu.render import rt as RT
 from swift_game_engine_tpu.render.ibl import IBL
-
-
-def slope(fn, *args, n=4):
-    def chain(k):
-        @jax.jit
-        def run(args):
-            def body(c, _):
-                a0 = jax.tree.map(lambda a: a + c * 1e-38, args[0])
-                out = fn(a0, *args[1:])
-                s = sum(jnp.sum(x) * 1e-30 for x in jax.tree.leaves(out)
-                        if jnp.issubdtype(x.dtype, jnp.floating))
-                return c + s, None
-            tot, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-            return tot
-        jax.block_until_ready(run(args))
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(args))
-        return time.perf_counter() - t0
-    t1 = chain(1)
-    tn = chain(1 + n)
-    return (tn - t1) / n
 
 
 def main():
     wh = sys.argv[1] if len(sys.argv) > 1 else "960x540"
     W, H = map(int, wh.split("x"))
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     scene = DemoScene().build()
     geo = scene["geometry"]
-    lights = scene["lights"]
     stepper, state = scene["stepper"], scene["state"]
     ibl = IBL.build()
+    lights = scene["lights"]
+
     cam = Camera()
     cam.position = np.array([0.0, 4.0, 14.0], np.float32)
     cam.target = np.array([0.0, 0.0, 0.0], np.float32)
-    transforms, palettes = stepper.extract(state, 0.0, np.zeros(3, np.float32))
+    cam_env = os.environ.get("SGE_PROF_CAM")
+    if cam_env:
+        vals = [float(x) for x in cam_env.split(",")]
+        cam.position = np.array(vals[:3], np.float32)
+        if len(vals) >= 6:
+            cam.target = np.array(vals[3:6], np.float32)
+    transforms, palettes = stepper.extract(state, 0.0,
+                                           np.zeros(3, np.float32))
+    fg = jax.jit(lambda tr, pa: flatten_frame(geo, tr, pa))(transforms,
+                                                            palettes)
+    jax.block_until_ready(fg.pos)
+
     ivp = jnp.asarray(cam.inv_view_proj(W, H))
-    vp = jnp.asarray(cam.view_proj(W, H))
     cpos = jnp.asarray(cam.position)
 
-    def frame(transforms, palettes):
-        fg = flatten_frame(geo, transforms, palettes)
-        return RT.render_frame(geo, fg, ibl, lights, ivp, cpos, W, H,
-                               max_layers=3, shadow_layers=4,
-                               enable_mirror=True, enable_refraction=True,
-                               view_proj=vp)
+    knobs = {k: v for k, v in os.environ.items() if k.startswith("SGE_")}
+    print(f"config: {knobs}", flush=True)
 
-    configs = [
-        ("trace", "trace", False),
-        ("peels", "peels", False),
-        ("peels+cshadow", "peels", True),
-    ]
-    img_ref = None
-    for name, prim, cshadow in configs:
-        RT._RT_PRIMARY = prim
-        RT._SHADOW_CLUSTERS = cshadow
-        img = jax.block_until_ready(jax.jit(frame)(transforms, palettes))
-        m = float(jnp.mean(img))
-        if img_ref is None:
-            img_ref = np.asarray(img)
-            diff = 0.0
-        else:
-            d = np.abs(np.asarray(img) - img_ref).max(-1)
-            diff = float((d > 1e-3).mean())
-        t = slope(frame, transforms, palettes, n=n)
-        print(f"{name}: {t*1e3:.1f} ms device  mean={m:.6f} "
-              f"diff_frac={diff:.4f}", flush=True)
+    @jax.jit
+    def frames(cp):
+        def body(i, acc):
+            img = RT.render_frame(geo, fg, ibl, lights, ivp,
+                                  cp + 0.0 * i, W, H, max_layers=3,
+                                  shadow_layers=4)
+            return acc + jnp.mean(img)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    t0 = time.time()
+    acc = jax.block_until_ready(frames(cpos))
+    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    acc = jax.block_until_ready(frames(cpos))
+    dt = (time.perf_counter() - t0 - 0.027) / reps
+    # one single frame for the image-mean checksum
+    img = RT.render_frame(geo, fg, ibl, lights, ivp, cpos, W, H,
+                          max_layers=3, shadow_layers=4)
+    print(f"frame: {dt*1e3:.1f} ms/frame ({1.0/dt:.2f} fps)  "
+          f"mean={float(jnp.mean(img)):.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -475,7 +475,8 @@ def rasterize(v0, v1, v2, view_proj, cam_pos, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 
-def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
+def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
+                    cluster: int = 0):
     """Per-triangle edge rows + front-to-back sorted cluster metadata.
 
     Returns (rows (Tp, 16), meta (C*8,) flat f32, n_clusters). Row layout
@@ -573,7 +574,8 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
         w0c, w1c, w2c, ids, opq, zero, zero,
     ], axis=-1)
 
-    pad = (-tcount) % CLUSTER
+    cl = cluster or CLUSTER
+    pad = (-tcount) % cl
     if pad:
         fill = jnp.full((pad, 16), -1.0, jnp.float32)
         rows = jnp.concatenate([rows, fill], axis=0)
@@ -583,14 +585,14 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
         y_max = jnp.concatenate([y_max, jnp.full(pad, -BIG)])
         w_min = jnp.concatenate([w_min, jnp.full(pad, BIG)])
     tp = rows.shape[0]
-    n_clusters = tp // CLUSTER
+    n_clusters = tp // cl
     # Lane-packed layout: 8 triangles (16 lanes each) per (1, 128) row —
     # a (Tp, 16) f32 VMEM operand would lane-pad 16 -> 128 (8x memory: the
     # demo scene's 4.3 MB of rows became a 34 MB scoped-VMEM request).
     rows = rows.reshape(tp // 8, 128)
 
     def creduce(a, fn):
-        return fn(a.reshape(n_clusters, CLUSTER), axis=1)
+        return fn(a.reshape(n_clusters, cl), axis=1)
 
     cx0 = creduce(x_min, jnp.min)
     cx1 = creduce(x_max, jnp.max)
@@ -599,7 +601,7 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
     cw = creduce(w_min, jnp.min)
 
     order = jnp.argsort(cw)
-    base = (order * (CLUSTER // 8)).astype(jnp.float32)  # packed-row index
+    base = (order * (cl // 8)).astype(jnp.float32)  # packed-row index
     meta = jnp.stack([cx0[order], cy0[order], cx1[order], cy1[order],
                       cw[order], base,
                       jnp.zeros_like(base), jnp.zeros_like(base)], axis=-1)
@@ -607,7 +609,8 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None):
 
 
 def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
-                    width, height, tiles_x, layers, n_clusters):
+                    width, height, tiles_x, layers, n_clusters,
+                    cluster: int = 0):
     """Front-to-back cluster walk with per-tile scalar AABB reject and
     occlusion early-exit; keeps the ``layers`` nearest fragments per pixel
     (insertion network, as _raster_kernel_peeled)."""
@@ -699,7 +702,8 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
                 out = out + (on, od)
             return out
 
-        return jax.lax.fori_loop(0, CLUSTER // 8, group, slots_flat)
+        return jax.lax.fori_loop(0, (cluster or CLUSTER) // 8, group,
+                                 slots_flat)
 
     def cond(c):
         return (c[0] < n_clusters) & (c[1] < 0.5)
@@ -754,7 +758,8 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
 
 def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        height: int, layers: int = 1,
-                       interpret: bool = False, opaque=None):
+                       interpret: bool = False, opaque=None,
+                       cluster: int = 0):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
@@ -765,10 +770,12 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     tiles = tiles_x * tiles_y
 
     rows, meta, n_clusters = _setup_clusters(v0, v1, v2, view_proj,
-                                             width, height, opaque=opaque)
+                                             width, height, opaque=opaque,
+                                             cluster=cluster)
 
     kernel = partial(_cluster_kernel, width=width, height=height,
-                     tiles_x=tiles_x, layers=layers, n_clusters=n_clusters)
+                     tiles_x=tiles_x, layers=layers, n_clusters=n_clusters,
+                     cluster=cluster)
     tile_spec = pl.BlockSpec((1, layers, TILE_H, TILE_W),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
