@@ -68,7 +68,8 @@ def _ortho_basis(l):
     return e1, e2
 
 
-def build_shadow_clusters(v0, v1, v2, l, translucent) -> ShadowClusters:
+def build_shadow_clusters(v0, v1, v2, l, translucent,
+                          cluster: int = 0) -> ShadowClusters:
     """Per-frame XLA precompute (column-form math — see
     tile_raster._setup_clusters for why (T,3)-shaped ops are avoided).
 
@@ -141,7 +142,8 @@ def build_shadow_clusters(v0, v1, v2, l, translucent) -> ShadowClusters:
     d_lo = jnp.where(ok, d_lo, BIG)
     d_hi = jnp.where(ok, d_hi, -BIG)
 
-    pad = (-tcount) % CLUSTER
+    cl = cluster or CLUSTER
+    pad = (-tcount) % cl
     if pad:
         rows = jnp.concatenate(
             [rows, jnp.full((pad, 16), -1.0, jnp.float32)], axis=0)
@@ -153,22 +155,22 @@ def build_shadow_clusters(v0, v1, v2, l, translucent) -> ShadowClusters:
         d_lo = jnp.concatenate([d_lo, fill])
         d_hi = jnp.concatenate([d_hi, -fill])
     tp = rows.shape[0]
-    n_clusters = tp // CLUSTER
+    n_clusters = tp // cl
     # Lane-packed: 8 triangles (16 lanes each) per (1, 128) row — a
     # (Tp, 16) VMEM operand would lane-pad 16 -> 128 (8x scoped VMEM).
     rows = rows.reshape(tp // 8, 128)
 
     def cmin(a):
-        return jnp.min(a.reshape(n_clusters, CLUSTER), axis=1)
+        return jnp.min(a.reshape(n_clusters, cl), axis=1)
 
     def cmax(a):
-        return jnp.max(a.reshape(n_clusters, CLUSTER), axis=1)
+        return jnp.max(a.reshape(n_clusters, cl), axis=1)
 
     ca0, ca1 = cmin(a_lo), cmax(a_hi)
     cb0, cb1 = cmin(b_lo), cmax(b_hi)
     cd0, cd1 = cmin(d_lo), cmax(d_hi)
     order = jnp.argsort(cd0)
-    base = (order * (CLUSTER // 8)).astype(jnp.float32)  # packed-row index
+    base = (order * (cl // 8)).astype(jnp.float32)  # packed-row index
     meta = jnp.stack([ca0[order], cb0[order], ca1[order], cb1[order],
                       cd0[order], cd1[order], base,
                       jnp.zeros_like(base)], axis=-1)
@@ -176,8 +178,15 @@ def build_shadow_clusters(v0, v1, v2, l, translucent) -> ShadowClusters:
     return ShadowClusters(rows=rows, meta=meta.reshape(-1), basis=basis)
 
 
-def _kernel(meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
-            topq_out, ts_out, ids_out, *, n_slots: int, n_clusters: int):
+def _kernel(*refs, n_slots: int, n_clusters: int,
+            use_lists: bool = False, cluster: int = 0):
+    if use_lists:
+        (lists_ref, meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref,
+         tlim_ref, topq_out, ts_out, ids_out) = refs
+    else:
+        lists_ref = None
+        (meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
+         topq_out, ts_out, ids_out) = refs
     px = ox_ref[0]
     py = oy_ref[0]
     pz = oz_ref[0]
@@ -239,14 +248,22 @@ def _kernel(meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
                     ts[k], ids[k] = nt, nid
             return (t_opq,) + tuple(ts) + tuple(ids)
 
-        return jax.lax.fori_loop(0, CLUSTER // 8, group, recs)
+        return jax.lax.fori_loop(0, (cluster or CLUSTER) // 8, group,
+                                 recs)
 
-    def cond(c):
-        return (c[0] < n_clusters) & (c[1] < 0.5)
+    if use_lists:
+        count = lists_ref[0, 0, 0]
+
+        def cond(c):
+            return (c[0] < count) & (c[1] < 0.5)
+    else:
+        def cond(c):
+            return (c[0] < n_clusters) & (c[1] < 0.5)
 
     def body(c):
-        ci, _, bound = c[0], c[1], c[2]
+        j, _, bound = c[0], c[1], c[2]
         recs = c[3:]
+        ci = lists_ref[0, 0, 1 + j] if use_lists else j
         ca0 = meta_ref[ci * 8 + 0]
         cb0 = meta_ref[ci * 8 + 1]
         ca1 = meta_ref[ci * 8 + 2]
@@ -256,16 +273,19 @@ def _kernel(meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
         base_i = meta_ref[ci * 8 + 6].astype(jnp.int32)
         # sorted ascending by cd0: all later clusters are at least this deep
         stop = jnp.where(cd0 >= bound, 1.0, 0.0)
-        overlap = (ca0 <= pa1) & (ca1 >= pa0) & (cb0 <= pb1) & (cb1 >= pb0) \
-            & (cd1 > pd0)
-        process = overlap & (stop < 0.5)
+        if use_lists:
+            process = stop < 0.5   # overlap pretested in XLA
+        else:
+            overlap = (ca0 <= pa1) & (ca1 >= pa0) & (cb0 <= pb1) & \
+                (cb1 >= pb0) & (cd1 > pd0)
+            process = overlap & (stop < 0.5)
 
         recs = jax.lax.cond(process, lambda r: do_cluster(base_i, r),
                             lambda r: r, recs)
         bound = jax.lax.cond(
             process, lambda r: bound_of(r[0], r[n_slots]),
             lambda r: bound, recs)
-        return (ci + 1, stop, bound) + recs
+        return (j + 1, stop, bound) + recs
 
     out = jax.lax.while_loop(cond, body, init)
     topq_out[0] = out[3]
@@ -274,8 +294,44 @@ def _kernel(meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
         ids_out[0, k] = out[4 + n_slots + k]
 
 
+def _packet_cluster_lists(sc: ShadowClusters, o, t_limit, nb: int):
+    """Per-packet candidate cluster lists, built in XLA: project origins
+    to light space, take live-lane min/max rects per packet (segment
+    reductions over the packet axis), overlap-test against the depth-sorted
+    cluster footprints, and emit [count, ci...] rows in the SAME global
+    depth order (stable argsort of the inverted mask)."""
+    e1, e2, lv = sc.basis[0], sc.basis[1], sc.basis[2]
+    x, y, z = o[:, 0], o[:, 1], o[:, 2]
+    a = x * e1[0] + y * e1[1] + z * e1[2]
+    b = x * e2[0] + y * e2[1] + z * e2[2]
+    dep = x * lv[0] + y * lv[1] + z * lv[2]
+    live = t_limit > 0.0
+    big = jnp.float32(BIG)
+
+    def seg(v, fill, fn):
+        return fn(jnp.where(live, v, fill).reshape(nb, BLOCK), axis=1)
+
+    pa0 = seg(a, big, jnp.min)
+    pa1 = seg(a, -big, jnp.max)
+    pb0 = seg(b, big, jnp.min)
+    pb1 = seg(b, -big, jnp.max)
+    pd0 = seg(dep, big, jnp.min)
+
+    m = sc.meta.reshape(-1, 8)
+    overlap = ((m[None, :, 0] <= pa1[:, None]) &
+               (m[None, :, 2] >= pa0[:, None]) &
+               (m[None, :, 1] <= pb1[:, None]) &
+               (m[None, :, 3] >= pb0[:, None]) &
+               (m[None, :, 5] > pd0[:, None]))
+    order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    return jnp.concatenate([count[:, None], order], axis=1)
+
+
 def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
-                          interpret: bool = False):
+                          interpret: bool = False, lists: bool = False,
+                          cluster: int = 0):
+    # NOTE: ``cluster`` must match the build_shadow_clusters call.
     """Shadow records for a flat origin batch (packet-ordered).
 
     Returns (t_opq (N,), ts (N, n_slots), ids (N, n_slots)) — identical
@@ -301,10 +357,22 @@ def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
                             memory_space=pltpu.VMEM)
     slot_spec = pl.BlockSpec((1, n_slots, _SUB, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
+    in_specs = [smem_spec, smem_spec, vmem_spec] + [ray_spec] * 4
+    operands = [sc.meta, sc.basis.reshape(-1), sc.rows]
+    if lists:
+        tl = _packet_cluster_lists(sc, o, jnp.asarray(t_limit, jnp.float32),
+                                   nb)
+        # (nb, 1, C+1): see tile_raster — block dims must EQUAL array dims.
+        tl = tl[:, None, :]
+        in_specs.insert(0, pl.BlockSpec((1, 1, tl.shape[2]),
+                                        lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        operands.insert(0, tl)
     topq, ts, ids = pl.pallas_call(
-        partial(_kernel, n_slots=n_slots, n_clusters=n_clusters),
+        partial(_kernel, n_slots=n_slots, n_clusters=n_clusters,
+                use_lists=lists, cluster=cluster),
         grid=(nb,),
-        in_specs=[smem_spec, smem_spec, vmem_spec] + [ray_spec] * 4,
+        in_specs=in_specs,
         out_specs=(ray_spec, slot_spec, slot_spec),
         out_shape=(
             jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
@@ -312,7 +380,7 @@ def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
             jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(sc.meta, sc.basis.reshape(-1), sc.rows, *rays)
+    )(*operands, *rays)
     topq = topq.reshape(-1)[:n]
     ts = ts.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
     ids = ids.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]

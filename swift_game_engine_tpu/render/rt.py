@@ -116,6 +116,10 @@ _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 # replaces the serial packet walk; modest on the full frame because
 # visibility traces, not shadows, dominate at the current defaults.
 _SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "1") == "1"
+# Per-packet candidate cluster lists for the shadow kernel (XLA-built
+# light-space overlap lists; the kernel then never scalar-scans
+# non-overlapping clusters). See ops.cluster_shadow._packet_cluster_lists.
+_SHADOW_LISTS = os.environ.get("SGE_SHADOW_LISTS", "0") == "1"
 # Honor Material.unlit in the RT path: unlit hits shade as albedo+emissive
 # (the reference raster fragment shader's unlit branch,
 # ShadersRaster.metalinc:73-75) and cast NO shadow rays. The reference's
@@ -428,7 +432,8 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                           jnp.float32(0.0))
         t_opq, ts, ids = trace_shadow_clusters(
             shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            lists=_SHADOW_LISTS)
         return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
                                      active, max_dist, shadow_layers, usage)
 

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 32
+_TILE_H_DEFAULT = 32
 TILE_W = 128
 # Max candidate triangles per tile. Overflowing tiles drop the excess for
 # that frame (counted in the returned stats) — raise SGE_RASTER_K for
@@ -608,12 +609,24 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
     return rows, meta.reshape(-1), n_clusters
 
 
-def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
+def _cluster_kernel(*refs,
                     width, height, tiles_x, layers, n_clusters,
-                    cluster: int = 0):
+                    cluster: int = 0, tile_h: int = 0,
+                    use_lists: bool = False):
     """Front-to-back cluster walk with per-tile scalar AABB reject and
     occlusion early-exit; keeps the ``layers`` nearest fragments per pixel
-    (insertion network, as _raster_kernel_peeled)."""
+    (insertion network, as _raster_kernel_peeled).
+
+    ``use_lists``: the walk reads this tile's PRECOMPUTED candidate
+    clusters (depth-ordered, XLA-built overlap lists — see
+    _tile_cluster_lists) instead of scalar-scanning every cluster."""
+    if use_lists:
+        (lists_ref, meta_ref, rows_ref, id_out, b1_out, b2_out,
+         w_out) = refs
+    else:
+        lists_ref = None
+        meta_ref, rows_ref, id_out, b1_out, b2_out, w_out = refs
+    TILE_H = tile_h or _TILE_H_DEFAULT
     tile = pl.program_id(0)
     ty = tile // tiles_x
     tx = tile % tiles_x
@@ -705,13 +718,23 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
         return jax.lax.fori_loop(0, (cluster or CLUSTER) // 8, group,
                                  slots_flat)
 
-    def cond(c):
-        return (c[0] < n_clusters) & (c[1] < 0.5)
+    if use_lists:
+        count = lists_ref[0, 0, 0]
+
+        def cond(c):
+            return (c[0] < count) & (c[1] < 0.5)
+    else:
+        def cond(c):
+            return (c[0] < n_clusters) & (c[1] < 0.5)
 
     def body(c):
-        ci = c[0]
+        j = c[0]
         bound = c[2]
         slots_flat = c[3:]
+        if use_lists:
+            ci = lists_ref[0, 0, 1 + j]
+        else:
+            ci = j
         cx0 = meta_ref[ci * 8 + 0]
         cy0 = meta_ref[ci * 8 + 1]
         cx1 = meta_ref[ci * 8 + 2]
@@ -722,9 +745,12 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
         # is nearer than this cluster's min depth, no later cluster can
         # displace anything (strictly-nearer wins).
         stop = jnp.where(cw >= bound, 1.0, 0.0)
-        overlap = (cx0 <= tile_x1) & (cx1 >= tile_x0) & \
-            (cy0 <= tile_y1) & (cy1 >= tile_y0)
-        process = overlap & (stop < 0.5)
+        if use_lists:
+            process = stop < 0.5   # overlap pretested in XLA
+        else:
+            overlap = (cx0 <= tile_x1) & (cx1 >= tile_x0) & \
+                (cy0 <= tile_y1) & (cy1 >= tile_y0)
+            process = overlap & (stop < 0.5)
 
         slots_flat = jax.lax.cond(
             process, lambda sf: do_cluster(base_i, sf), lambda sf: sf,
@@ -741,7 +767,7 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
             return jnp.max(depth)
 
         bound = jax.lax.cond(process, new_bound, lambda sf: bound, slots_flat)
-        return (ci + 1, stop, bound) + slots_flat
+        return (j + 1, stop, bound) + slots_flat
 
     init = (jnp.int32(0), jnp.float32(0.0), BIG * jnp.float32(1.0)) + \
         init_slots
@@ -756,17 +782,42 @@ def _cluster_kernel(meta_ref, rows_ref, id_out, b1_out, b2_out, w_out, *,
         w_out[0, l] = jnp.where(tid >= 0, zn * inv, BIG)
 
 
+def _tile_cluster_lists(meta, tiles_x: int, tiles_y: int, tile_h: int):
+    """Per-tile candidate cluster lists, built in XLA (massively parallel)
+    so the kernel never scalar-scans non-overlapping clusters.
+
+    ``meta``: depth-sorted flat (C*8,) cluster metadata from
+    _setup_clusters. Returns (tiles, 1 + C) int32: [count, ci0, ci1, ...]
+    with candidate cluster indices in the SAME global depth order (argsort
+    of the inverted overlap mask is stable, so set bits keep their order —
+    the kernel's early-exit bound logic is unchanged)."""
+    m = meta.reshape(-1, 8)
+    c = m.shape[0]
+    t_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    tx0 = (t_ids % tiles_x).astype(jnp.float32) * TILE_W
+    ty0 = (t_ids // tiles_x).astype(jnp.float32) * tile_h
+    overlap = ((m[None, :, 0] <= tx0[:, None] + TILE_W) &
+               (m[None, :, 2] >= tx0[:, None]) &
+               (m[None, :, 1] <= ty0[:, None] + tile_h) &
+               (m[None, :, 3] >= ty0[:, None]))
+    order = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    return jnp.concatenate([count[:, None], order], axis=1)
+
+
 def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        height: int, layers: int = 1,
                        interpret: bool = False, opaque=None,
-                       cluster: int = 0):
+                       cluster: int = 0, tile_h: int = 0,
+                       lists: bool = False):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
     ``opaque``: optional (T,) bool enabling opaque pixel termination for
     the early-exit bound (see _setup_clusters)."""
+    th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
-    tiles_y = -(-height // TILE_H)
+    tiles_y = -(-height // th)
     tiles = tiles_x * tiles_y
 
     rows, meta, n_clusters = _setup_clusters(v0, v1, v2, view_proj,
@@ -775,30 +826,42 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
 
     kernel = partial(_cluster_kernel, width=width, height=height,
                      tiles_x=tiles_x, layers=layers, n_clusters=n_clusters,
-                     cluster=cluster)
-    tile_spec = pl.BlockSpec((1, layers, TILE_H, TILE_W),
+                     cluster=cluster, tile_h=th, use_lists=lists)
+    tile_spec = pl.BlockSpec((1, layers, th, TILE_W),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W),
+    oshape = jax.ShapeDtypeStruct((tiles, layers, th, TILE_W),
                                   jnp.float32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [meta, rows]
+    if lists:
+        tl = _tile_cluster_lists(meta, tiles_x, tiles_y, th)
+        # (tiles, 1, C+1) with block (1, 1, C+1): the last two block dims
+        # EQUAL the array dims (the TPU lowering rejects a (1, C+1) block
+        # of a 2D array — 1 is neither divisible by 8 nor == tiles).
+        tl = tl[:, None, :]
+        in_specs.insert(0, pl.BlockSpec((1, 1, tl.shape[2]),
+                                        lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        operands.insert(0, tl)
     tid, b1, b2, w = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((tiles, layers, TILE_H, TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, layers, th, TILE_W), jnp.int32),
             oshape, oshape, oshape,
         ),
         interpret=interpret,
-    )(meta, rows)
+    )(*operands)
 
     def untile(a, l):
-        img = a[:, l].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
-        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H,
+        img = a[:, l].reshape(tiles_y, tiles_x, th, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * th,
                                                 tiles_x * TILE_W)
         return img[:height, :width].reshape(-1)
 

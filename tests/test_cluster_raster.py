@@ -52,6 +52,16 @@ assert np.allclose(np.asarray(ref.t), np.asarray(outs[0].t),
 m2 = float(np.mean(np.asarray(peel_ref[1].tri) == np.asarray(outs[1].tri)))
 assert m2 > 0.999, m2
 
+# XLA-precomputed per-tile candidate lists + non-default tile_h: lists
+# skip only clusters the kernel's own AABB test would reject, so records
+# are bit-identical to the default walk.
+outs_l = rasterize_clusters(v0, v1, v2, vp, cp, W, H, layers=2,
+                            interpret=True, lists=True, tile_h=16)
+for l in range(2):
+    assert np.array_equal(np.asarray(outs[l].tri), np.asarray(outs_l[l].tri))
+    assert np.allclose(np.asarray(outs[l].t), np.asarray(outs_l[l].t),
+                       rtol=1e-5, atol=1e-5)
+
 # opaque termination: layer-1 records identical; layer-2 records identical
 # wherever layer 1 was NOT opaque (behind an opaque fragment the records
 # are unconstrained — they are never shaded).

@@ -43,6 +43,26 @@ t_opq, ts, ids = trace_shadow_clusters(sc, jnp.asarray(o),
                                        interpret=True)
 t_opq = np.asarray(t_opq); ts = np.asarray(ts); ids = np.asarray(ids)
 
+# XLA-precomputed candidate lists skip only clusters the kernel's own
+# overlap test would reject -> bit-identical records.
+t_opq_l, ts_l, ids_l = trace_shadow_clusters(sc, jnp.asarray(o),
+                                             jnp.asarray(t_lim), n_slots=4,
+                                             interpret=True, lists=True)
+assert np.array_equal(t_opq, np.asarray(t_opq_l))
+assert np.array_equal(ts, np.asarray(ts_l))
+assert np.array_equal(ids, np.asarray(ids_l))
+
+# non-default cluster size: same record semantics (checked vs brute force
+# below via the same comparator on a second pass)
+sc64 = build_shadow_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                             jnp.asarray(v2), jnp.asarray(l),
+                             jnp.asarray(translucent), cluster=64)
+t_opq64, ts64, ids64 = trace_shadow_clusters(
+    sc64, jnp.asarray(o), jnp.asarray(t_lim), n_slots=4, interpret=True,
+    lists=True, cluster=64)
+t_opq64 = np.asarray(t_opq64); ts64 = np.asarray(ts64)
+ids64 = np.asarray(ids64)
+
 e1 = v1 - v0; e2 = v2 - v0
 def brute(oi, tl):
     if tl <= 0:
@@ -70,30 +90,31 @@ def brute(oi, tl):
 
 bad = 0
 checked = 0
-for i in range(0, N, 3):
-    to_ref, ts_ref, ids_ref = brute(o[i], t_lim[i])
-    checked += 1
-    if t_lim[i] <= 0:
-        ok = (t_opq[i] == 0.0) and (ids[i] < 0).all()
-    else:
-        ok = True
-        if np.isinf(to_ref):
-            ok &= t_opq[i] > 1e30
+for to_k, ts_k, ids_k in ((t_opq, ts, ids), (t_opq64, ts64, ids64)):
+    for i in range(0, N, 3):
+        to_ref, ts_ref, ids_ref = brute(o[i], t_lim[i])
+        checked += 1
+        if t_lim[i] <= 0:
+            ok = (to_k[i] == 0.0) and (ids_k[i] < 0).all()
         else:
-            ok &= abs(t_opq[i] - to_ref) < 1e-3 * max(to_ref, 1)
-        # translucent slots beyond the nearest-opaque settlement bound may
-        # be pruned by the kernel (they can never be shaded) — compare only
-        # hits nearer than the opaque hit.
-        lim = min(to_ref, t_lim[i])
-        ref_near = [t for t in ts_ref if t < lim]
-        got = ts[i][ids[i] >= 0]
-        got_near = sorted(got[got < lim])
-        ok &= len(ref_near) == len(got_near) and np.allclose(
-            ref_near, got_near, rtol=1e-3, atol=1e-3)
-    if not ok:
-        bad += 1
-        if bad < 4:
-            print("MISMATCH", i, to_ref, t_opq[i], ts_ref, ts[i])
+            ok = True
+            if np.isinf(to_ref):
+                ok &= to_k[i] > 1e30
+            else:
+                ok &= abs(to_k[i] - to_ref) < 1e-3 * max(to_ref, 1)
+            # translucent slots beyond the nearest-opaque settlement bound
+            # may be pruned by the kernel (they can never be shaded) —
+            # compare only hits nearer than the opaque hit.
+            lim = min(to_ref, t_lim[i])
+            ref_near = [t for t in ts_ref if t < lim]
+            got = ts_k[i][ids_k[i] >= 0]
+            got_near = sorted(got[got < lim])
+            ok &= len(ref_near) == len(got_near) and np.allclose(
+                ref_near, got_near, rtol=1e-3, atol=1e-3)
+        if not ok:
+            bad += 1
+            if bad < 4:
+                print("MISMATCH", i, to_ref, to_k[i], ts_ref, ts_k[i])
 print(f"checked={checked} bad={bad}")
 assert bad == 0
 print("OK")
