@@ -58,12 +58,18 @@ def main():
     knobs = {k: v for k, v in os.environ.items() if k.startswith("SGE_")}
     print(f"config: {knobs}", flush=True)
 
+    BL = int(os.environ.get("BL", "3"))
+    BS = int(os.environ.get("BS", "4"))
+    BM = os.environ.get("BM", "1") == "1"
+    BR = os.environ.get("BR", "1") == "1"
+
     @jax.jit
     def frames(cp):
         def body(i, acc):
             img = RT.render_frame(geo, fg, ibl, lights, ivp,
-                                  cp + 0.0 * i, W, H, max_layers=3,
-                                  shadow_layers=4)
+                                  cp + 0.0 * i, W, H, max_layers=BL,
+                                  shadow_layers=BS, enable_mirror=BM,
+                                  enable_refraction=BR)
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

@@ -1,8 +1,9 @@
-"""Round-3 sweep #2: tap-chunk size, shadow candidate lists, in one
-process (monkeypatched knobs, scan-fused timing).
+"""Round-3 shadow sweep: packet size x cluster size x Morton sort x lists,
+in-frame (full default config), one process, scan-fused timing.
 
-Usage: python examples/prof_config_sweep2.py [WxH]
+Usage: python examples/prof_shadow_sweep.py [WxH] [reps]
 """
+import os
 import sys
 import time
 
@@ -15,16 +16,16 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from swift_game_engine_tpu.scene.demo_scene import DemoScene
 from swift_game_engine_tpu.render import rt as RT
+from swift_game_engine_tpu.ops import cluster_shadow as CS
 from swift_game_engine_tpu.render.scene_geometry import flatten_frame
 from swift_game_engine_tpu.render.camera import Camera
 from swift_game_engine_tpu.render.ibl import IBL
-
-REPS = 5
 
 
 def main():
     wh = sys.argv[1] if len(sys.argv) > 1 else "960x540"
     W, H = map(int, wh.split("x"))
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     scene = DemoScene().build()
     geo = scene["geometry"]
@@ -43,11 +44,13 @@ def main():
     ivp = jnp.asarray(cam.inv_view_proj(W, H))
     cpos = jnp.asarray(cam.position)
 
-    def run(name, knobs):
-        saved = {}
-        for k, v in knobs.items():
-            saved[k] = getattr(RT, k)
+    def run(name, rt_knobs, cs_knobs):
+        saved_rt = {k: getattr(RT, k) for k in rt_knobs}
+        saved_cs = {k: getattr(CS, k) for k in cs_knobs}
+        for k, v in rt_knobs.items():
             setattr(RT, k, v)
+        for k, v in cs_knobs.items():
+            setattr(CS, k, v)
         try:
             @jax.jit
             def frames(cp):
@@ -56,7 +59,7 @@ def main():
                                           cp + 0.0 * i, W, H, max_layers=3,
                                           shadow_layers=4)
                     return acc + jnp.mean(img)
-                return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             jax.block_until_ready(frames(cpos))
             t0 = time.perf_counter()
@@ -64,21 +67,31 @@ def main():
             # serve a repeated identical execution from a result cache,
             # which reads as a ~0 ms frame.
             acc = jax.block_until_ready(frames(cpos + 1e-5))
-            dt = (time.perf_counter() - t0 - 0.027) / REPS
+            dt = (time.perf_counter() - t0 - 0.027) / reps
             print(f"{name}: {dt*1e3:.1f} ms/frame ({1.0/dt:.2f} fps) "
                   f"acc={float(acc):.6f}", flush=True)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}",
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
         finally:
-            for k, v in saved.items():
+            for k, v in saved_rt.items():
                 setattr(RT, k, v)
+            for k, v in saved_cs.items():
+                setattr(CS, k, v)
 
-    run("baseline", {})
-    run("tapchunk 32k", {"_CHUNK_SMALL": 32768})
-    run("tapchunk 64k", {"_CHUNK_SMALL": 65536})
-    run("shadow lists", {"_SHADOW_LISTS": True})
-    run("lists+tap64k", {"_SHADOW_LISTS": True, "_CHUNK_SMALL": 65536})
+    PEELS = {"_RT_PRIMARY": "peels", "_RASTER_LISTS": True,
+             "_RASTER_TILE_H": 16, "_RASTER_CLUSTER": 64}
+    run("baseline 4096/128", {}, {})
+    run("sort", {"_SHADOW_SORT": True}, {})
+    run("sort+1024/32+lists", {"_SHADOW_SORT": True, "_SHADOW_LISTS": True},
+        {"SBLOCK": 1024, "_SSUB": 8, "CLUSTER": 32})
+    run("peels noperm", dict(PEELS), {})
+    run("peels+sort+1024/32+lists",
+        dict(PEELS, _SHADOW_SORT=True, _SHADOW_LISTS=True),
+        {"SBLOCK": 1024, "_SSUB": 8, "CLUSTER": 32})
+    run("peels+sort+512/32+lists",
+        dict(PEELS, _SHADOW_SORT=True, _SHADOW_LISTS=True),
+        {"SBLOCK": 512, "_SSUB": 4, "CLUSTER": 32})
 
 
 if __name__ == "__main__":

@@ -1,8 +1,9 @@
-"""Round-3 sweep #2: tap-chunk size, shadow candidate lists, in one
-process (monkeypatched knobs, scan-fused timing).
+"""Round-3 visibility sweep: traced vs rasterized primary visibility,
+in-frame, one process (monkeypatched knobs, scan-fused timing).
 
-Usage: python examples/prof_config_sweep2.py [WxH]
+Usage: python examples/prof_vis_sweep.py [WxH] [BL] [reps]
 """
+import os
 import sys
 import time
 
@@ -19,12 +20,13 @@ from swift_game_engine_tpu.render.scene_geometry import flatten_frame
 from swift_game_engine_tpu.render.camera import Camera
 from swift_game_engine_tpu.render.ibl import IBL
 
-REPS = 5
-
-
 def main():
     wh = sys.argv[1] if len(sys.argv) > 1 else "960x540"
     W, H = map(int, wh.split("x"))
+    BL = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    bm = os.environ.get("BM", "1") == "1"
+    br = os.environ.get("BR", "1") == "1"
 
     scene = DemoScene().build()
     geo = scene["geometry"]
@@ -53,10 +55,11 @@ def main():
             def frames(cp):
                 def body(i, acc):
                     img = RT.render_frame(geo, fg, ibl, lights, ivp,
-                                          cp + 0.0 * i, W, H, max_layers=3,
-                                          shadow_layers=4)
+                                          cp + 0.0 * i, W, H, max_layers=BL,
+                                          shadow_layers=4, enable_mirror=bm,
+                                          enable_refraction=br)
                     return acc + jnp.mean(img)
-                return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             jax.block_until_ready(frames(cpos))
             t0 = time.perf_counter()
@@ -64,21 +67,23 @@ def main():
             # serve a repeated identical execution from a result cache,
             # which reads as a ~0 ms frame.
             acc = jax.block_until_ready(frames(cpos + 1e-5))
-            dt = (time.perf_counter() - t0 - 0.027) / REPS
+            dt = (time.perf_counter() - t0 - 0.027) / reps
             print(f"{name}: {dt*1e3:.1f} ms/frame ({1.0/dt:.2f} fps) "
                   f"acc={float(acc):.6f}", flush=True)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}",
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
         finally:
             for k, v in saved.items():
                 setattr(RT, k, v)
 
-    run("baseline", {})
-    run("tapchunk 32k", {"_CHUNK_SMALL": 32768})
-    run("tapchunk 64k", {"_CHUNK_SMALL": 65536})
-    run("shadow lists", {"_SHADOW_LISTS": True})
-    run("lists+tap64k", {"_SHADOW_LISTS": True, "_CHUNK_SMALL": 65536})
+    run("trace", {})
+    run("peels+lists", {"_RT_PRIMARY": "peels", "_RASTER_LISTS": True,
+                        "_RASTER_TILE_H": 16, "_RASTER_CLUSTER": 64})
+    run("peels plain", {"_RT_PRIMARY": "peels"})
+    if BL == 1:
+        run("raster prim", {"_RT_PRIMARY": "raster", "_RASTER_LISTS": True,
+                            "_RASTER_TILE_H": 16, "_RASTER_CLUSTER": 64})
 
 
 if __name__ == "__main__":

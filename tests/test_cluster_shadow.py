@@ -52,6 +52,39 @@ assert np.array_equal(t_opq, np.asarray(t_opq_l))
 assert np.array_equal(ts, np.asarray(ts_l))
 assert np.array_equal(ids, np.asarray(ids_l))
 
+# alpha-payload mode: the record payload is 2 + material alpha instead of
+# the triangle id; same hits, same ts, payload = alpha of the same tris.
+tri_alpha = rng.random(T).astype(np.float32)
+sc_a = build_shadow_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                             jnp.asarray(v2), jnp.asarray(l),
+                             jnp.asarray(translucent),
+                             alpha=jnp.asarray(tri_alpha))
+t_a, ts_a, pay_a = trace_shadow_clusters(sc_a, jnp.asarray(o),
+                                         jnp.asarray(t_lim), n_slots=4,
+                                         interpret=True, alpha_payload=True)
+assert np.array_equal(t_opq, np.asarray(t_a))
+assert np.array_equal(ts, np.asarray(ts_a))
+pay_a = np.asarray(pay_a)
+sel = ids >= 0
+expect = tri_alpha[np.floor(ids[sel]).astype(int)]
+got_alpha = pay_a[sel] - 2.0
+assert np.allclose(expect, got_alpha, atol=1e-6)
+assert ((pay_a < 0) == (ids < 0)).all()
+
+# light-space Morton sort (rt._light_morton_order): per-lane records are
+# independent of packet grouping -> sorted trace + inverse gather is
+# bit-identical.
+from swift_game_engine_tpu.render.rt import _light_morton_order
+order = _light_morton_order(sc.basis, jnp.asarray(o), jnp.asarray(t_lim))
+t_s, ts_s, ids_s = trace_shadow_clusters(
+    sc, jnp.asarray(o)[order], jnp.asarray(t_lim)[order], n_slots=4,
+    interpret=True, lists=True)
+inv = np.zeros(N, np.int64)
+inv[np.asarray(order)] = np.arange(N)
+assert np.array_equal(t_opq, np.asarray(t_s)[inv])
+assert np.array_equal(ts, np.asarray(ts_s)[inv])
+assert np.array_equal(ids, np.asarray(ids_s)[inv])
+
 # non-default cluster size: same record semantics (checked vs brute force
 # below via the same comparator on a second pass)
 sc64 = build_shadow_clusters(jnp.asarray(v0), jnp.asarray(v1),

@@ -249,3 +249,29 @@ def test_fps_overlay_device_matches_host():
     off = np.asarray(jax.jit(overlay_blit_device)(jnp.asarray(frame),
                                                   jnp.int32(-1)))
     assert (off == frame).all()
+
+
+def test_sort_compaction_matches_chunked():
+    """rt._compacted (sort-based compaction) returns exactly what the
+    nonzero+scatter _chunked machinery produces for the same body."""
+    import numpy as np
+    import jax.numpy as jnp
+    from swift_game_engine_tpu.render import rt as RT
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    mask = jnp.asarray(rng.random(n) < 0.3)
+    table = jnp.asarray(rng.random((n, 3), np.float32))
+    default = jnp.asarray(rng.random((n, 3), np.float32))
+
+    def body2(idx, valid):
+        safe = jnp.minimum(idx, n - 1)
+        return (table[safe] * 2.0 + 1.0,)
+
+    got = RT._compacted(mask, body2, (default,), cap=128)[0]
+    expect = jnp.where(mask[:, None], table * 2.0 + 1.0, default)
+    assert np.allclose(np.asarray(got), np.asarray(expect))
+
+    # empty mask: zero iterations, defaults pass through
+    got0 = RT._compacted(jnp.zeros(n, bool), body2, (default,), cap=128)[0]
+    assert np.array_equal(np.asarray(got0), np.asarray(default))

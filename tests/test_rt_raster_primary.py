@@ -43,11 +43,13 @@ print("DONE")
 """
 
 
-def _render(primary, out):
+def _render(primary, out, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["TEST_PRIMARY"] = primary
     env["TEST_OUT"] = out
+    if extra_env:
+        env.update(extra_env)
     proc = subprocess.run([sys.executable, "-c", CODE], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr + proc.stdout
@@ -67,3 +69,18 @@ def test_raster_primary_matches_traced(tmp_path):
     frac_same = float((diff < 1e-4).mean())
     assert frac_same > 0.97, frac_same
     assert abs(ia.mean() - ib.mean()) < 0.01 * max(ia.mean(), 1e-3)
+
+
+def test_peels_batched_layers_match_sequential(tmp_path):
+    """SGE_RT_LBATCH concatenates every peel layer into one shade call;
+    the per-lane math (alpha chain, shadows, bounces) is unchanged, so the
+    image must match the sequential peel loop to fp-accumulation noise."""
+    import numpy as np
+    a = str(tmp_path / "seq.npy")
+    b = str(tmp_path / "batch.npy")
+    _render("peels", a)
+    _render("peels", b, {"SGE_RT_LBATCH": "1"})
+    ia = np.load(a)
+    ib = np.load(b)
+    assert np.allclose(ia, ib, rtol=1e-5, atol=1e-5), \
+        float(np.abs(ia - ib).max())
