@@ -92,16 +92,28 @@ def main():
             for k, v in saved_cs.items():
                 setattr(CS, k, v)
 
-    run("best L3 full", 3, True, True)
+    # Layered-path (current default visibility) combinations. Measured
+    # 2026-08-19 at the standard camera (ms/frame, two varied passes):
+    #   default 357.7 | lbatch 424.6 | lbatch+sortc 368.5
+    #   lbatch+shsort 425.9 | lbatch+shsort+sortc 368.7
+    #   lbatch 262k chunk 408.0 | slots2 357.6 (image diverges)
+    # -> LBATCH loses (fragments the dense L1 shade into chunk programs);
+    #    sort-compaction recovered 56 ms of it -> measure standalone.
+    LAYERED = {"_RT_PRIMARY": "trace"}
+    run("default", 3, True, True, rt_extra=LAYERED, cs_extra={})
+    run("sortc", 3, True, True,
+        rt_extra=dict(LAYERED, _SORT_COMPACT=True), cs_extra={})
+    run("sortc+shsort", 3, True, True,
+        rt_extra=dict(LAYERED, _SORT_COMPACT=True, _SHADOW_SORT=True),
+        cs_extra={})
     run("sortc+lanec", 3, True, True,
-        rt_extra={"_SORT_COMPACT": True, "_PACKET_COMPACT": False})
-    run("sortc+lanec+lbatch", 3, True, True,
-        rt_extra={"_SORT_COMPACT": True, "_PACKET_COMPACT": False,
-                  "_LBATCH": True})
-    run("sortc L3 nobounce", 3, False, False,
-        rt_extra={"_SORT_COMPACT": True, "_PACKET_COMPACT": False})
-    run("sortc L1 nobounce", 1, False, False,
-        rt_extra={"_SORT_COMPACT": True, "_PACKET_COMPACT": False})
+        rt_extra=dict(LAYERED, _SORT_COMPACT=True, _PACKET_COMPACT=False),
+        cs_extra={})
+    run("sortc+lanec+lb2", 3, True, True,
+        rt_extra=dict(LAYERED, _SORT_COMPACT=True, _PACKET_COMPACT=False,
+                      _LBATCH=2), cs_extra={})
+    run("sortc+lb2", 3, True, True,
+        rt_extra=dict(LAYERED, _SORT_COMPACT=True, _LBATCH=2), cs_extra={})
 
 
 if __name__ == "__main__":

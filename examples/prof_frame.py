@@ -76,9 +76,16 @@ def main():
     t0 = time.time()
     acc = jax.block_until_ready(frames(cpos))
     print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    acc = jax.block_until_ready(frames(cpos))
-    dt = (time.perf_counter() - t0 - 0.027) / reps
+    # Two timed passes, DIFFERENT inputs each (the tunnel backend serves a
+    # repeated identical execution from a result cache -> reads ~0 ms);
+    # report the min of the two for a variance check.
+    ds = []
+    for r in range(2):
+        t0 = time.perf_counter()
+        acc = jax.block_until_ready(frames(cpos + 1e-5 * (r + 1)))
+        ds.append((time.perf_counter() - t0 - 0.027) / reps)
+    print(f"passes: {ds[0]*1e3:.1f} / {ds[1]*1e3:.1f} ms", flush=True)
+    dt = min(ds)
     # one single frame for the image-mean checksum
     img = RT.render_frame(geo, fg, ibl, lights, ivp, cpos, W, H,
                           max_layers=3, shadow_layers=4)

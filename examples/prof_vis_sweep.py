@@ -62,14 +62,17 @@ def main():
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             jax.block_until_ready(frames(cpos))
-            t0 = time.perf_counter()
-            # NOTE: different input than warmup — the tunnel backend can
-            # serve a repeated identical execution from a result cache,
-            # which reads as a ~0 ms frame.
-            acc = jax.block_until_ready(frames(cpos + 1e-5))
-            dt = (time.perf_counter() - t0 - 0.027) / reps
-            print(f"{name}: {dt*1e3:.1f} ms/frame ({1.0/dt:.2f} fps) "
-                  f"acc={float(acc):.6f}", flush=True)
+            # Two timed passes, different inputs each (result-cache hazard)
+            # — report both; the FIRST pass of the FIRST config in a fresh
+            # process reads slow (server-side warmup), so use the min.
+            ds = []
+            for r in range(2):
+                t0 = time.perf_counter()
+                acc = jax.block_until_ready(frames(cpos + 1e-5 * (r + 1)))
+                ds.append((time.perf_counter() - t0 - 0.027) / reps)
+            dt = min(ds)
+            print(f"{name}: {ds[0]*1e3:.1f} / {ds[1]*1e3:.1f} ms/frame "
+                  f"({1.0/dt:.2f} fps) acc={float(acc):.6f}", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)

@@ -40,11 +40,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rt_kernel import BLOCK, _SUB, BIG, EPS
+from .rt_kernel import BLOCK, BIG, EPS
 
 CLUSTER = int(os.environ.get("SGE_SHADOW_CLUSTER", "128"))
 UNROLL = 8
 assert CLUSTER % UNROLL == 0
+# Shadow packet size (origins per kernel program). Smaller packets have a
+# tighter light-space footprint (fewer candidate clusters per packet) at
+# the cost of more programs; sweepable independently of the traversal
+# kernels' BLOCK (examples/prof_shadow_sweep.py).
+SBLOCK = int(os.environ.get("SGE_SHADOW_BLOCK", str(BLOCK)))
+_SSUB = SBLOCK // 128
+assert SBLOCK % 128 == 0
+# Row tables beyond this many bytes stream from HBM via a VMEM window
+# (shared policy with tile_raster; see its _ROWS_VMEM_MAX).
+_ROWS_VMEM_MAX = int(os.environ.get("SGE_RASTER_ROWS_VMEM", str(6 << 20)))
 
 
 class ShadowClusters(NamedTuple):
@@ -69,13 +79,20 @@ def _ortho_basis(l):
 
 
 def build_shadow_clusters(v0, v1, v2, l, translucent,
-                          cluster: int = 0) -> ShadowClusters:
+                          cluster: int = 0, alpha=None) -> ShadowClusters:
     """Per-frame XLA precompute (column-form math — see
     tile_raster._setup_clusters for why (T,3)-shaped ops are avoided).
 
     ``l``: unit direction toward the light. ``translucent``: (T,) bool —
     translucent ids are encoded as id + 0.5 exactly like
-    rt_kernel.pack_bvh so downstream alpha handling is shared."""
+    rt_kernel.pack_bvh so downstream alpha handling is shared.
+
+    ``alpha``: optional (T,) material alpha per triangle. When given, row
+    slot 13 carries ``2 + alpha`` for translucent triangles (-1 otherwise)
+    so a kernel run with ``alpha_payload=True`` returns the shadow-filter
+    alpha directly in the id slot — the caller then needs no barycentrics
+    or material gathers to apply the layer semantics (exact whenever no
+    base texture carries alpha, i.e. the factor alone decides)."""
     lv = jnp.asarray(l, jnp.float32)
     e1b, e2b = _ortho_basis(lv)
 
@@ -118,9 +135,14 @@ def build_shadow_clusters(v0, v1, v2, l, translucent,
     ids = jnp.where(ok, ids, -1.0)
 
     zero = jnp.zeros(tcount, jnp.float32)
+    if alpha is not None:
+        pay = jnp.where(jnp.asarray(translucent) & ok,
+                        2.0 + jnp.asarray(alpha, jnp.float32), -1.0)
+    else:
+        pay = zero - 1.0
     rows = jnp.stack([
         g1x, g1y, g1z, g2x, g2y, g2z, g3x, g3y, g3z,
-        c1, c2, c3, ids, zero, zero, zero,
+        c1, c2, c3, ids, pay, zero, zero,
     ], axis=-1)
 
     # light-space footprint per triangle: projection interval on (e1, e2)
@@ -179,7 +201,13 @@ def build_shadow_clusters(v0, v1, v2, l, translucent,
 
 
 def _kernel(*refs, n_slots: int, n_clusters: int,
-            use_lists: bool = False, cluster: int = 0):
+            use_lists: bool = False, cluster: int = 0,
+            alpha_payload: bool = False, stream: bool = False):
+    if stream:
+        # rows stay in HBM; a processed cluster's rows are DMA'd into the
+        # VMEM scratch window (see tile_raster._cluster_kernel ``stream``).
+        buf_ref, sem = refs[-2], refs[-1]
+        refs = refs[:-2]
     if use_lists:
         (lists_ref, meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref,
          tlim_ref, topq_out, ts_out, ids_out) = refs
@@ -220,11 +248,21 @@ def _kernel(*refs, n_slots: int, n_clusters: int,
 
     def do_cluster(base_i, recs):
         # base_i indexes PACKED rows (8 triangles of 16 lanes per row)
+        if stream:
+            cl8 = (cluster or CLUSTER) // 8
+            copy = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(base_i, cl8), :], buf_ref, sem)
+            copy.start()
+            copy.wait()
+
         def group(g, recs):
             t_opq = recs[0]
             ts = list(recs[1:1 + n_slots])
             ids = list(recs[1 + n_slots:])
-            rows = rows_ref[pl.ds(base_i + g, 1), :]
+            if stream:
+                rows = buf_ref[pl.ds(g, 1), :]
+            else:
+                rows = rows_ref[pl.ds(base_i + g, 1), :]
             for j in range(8):
                 def s(i):
                     return rows[0, j * 16 + i]
@@ -238,7 +276,8 @@ def _kernel(*refs, n_slots: int, n_clusters: int,
                 opaque = tri_id == jnp.floor(tri_id)
                 t_opq = jnp.where(hit & opaque, jnp.minimum(t_opq, t), t_opq)
                 ct = jnp.where(hit & ~opaque, t, BIG)
-                cid = jnp.where(hit & ~opaque, tri_id, -1.0)
+                payload = s(13) if alpha_payload else tri_id
+                cid = jnp.where(hit & ~opaque, payload, -1.0)
                 for k in range(n_slots):
                     win = ct < ts[k]
                     nt = jnp.where(win, ct, ts[k])
@@ -309,7 +348,7 @@ def _packet_cluster_lists(sc: ShadowClusters, o, t_limit, nb: int):
     big = jnp.float32(BIG)
 
     def seg(v, fill, fn):
-        return fn(jnp.where(live, v, fill).reshape(nb, BLOCK), axis=1)
+        return fn(jnp.where(live, v, fill).reshape(nb, -1), axis=1)
 
     pa0 = seg(a, big, jnp.min)
     pa1 = seg(a, -big, jnp.max)
@@ -330,34 +369,46 @@ def _packet_cluster_lists(sc: ShadowClusters, o, t_limit, nb: int):
 
 def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
                           interpret: bool = False, lists: bool = False,
-                          cluster: int = 0):
+                          cluster: int = 0, alpha_payload: bool = False,
+                          stream=None):
     # NOTE: ``cluster`` must match the build_shadow_clusters call.
     """Shadow records for a flat origin batch (packet-ordered).
 
     Returns (t_opq (N,), ts (N, n_slots), ids (N, n_slots)) — identical
     contract to rt_kernel.trace_shadow_factor. Inactive lanes must carry
     t_limit <= 0 AND parked origins (1e9) so they never widen a packet's
-    light-space footprint."""
+    light-space footprint.
+
+    ``alpha_payload``: return ``2 + alpha`` instead of the triangle id in
+    the translucent record slots (requires build_shadow_clusters(alpha=...);
+    -1 still marks empty slots).
+
+    ``stream``: keep rows in HBM, DMA processed clusters into a VMEM
+    window (None = auto by table size — the un-decimated path)."""
     n_clusters = sc.meta.shape[0] // 8
+    if stream is None:
+        stream = sc.rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
     n = o.shape[0]
-    pad = (-n) % BLOCK
+    sblock, ssub = SBLOCK, _SSUB
+    pad = (-n) % sblock
     if pad:
         o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
         t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
-    nb = o.shape[0] // BLOCK
+    nb = o.shape[0] // sblock
 
     def comp(x):
-        return x.reshape(nb, _SUB, 128)
+        return x.reshape(nb, ssub, 128)
 
     rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
             comp(jnp.asarray(t_limit, jnp.float32))]
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((1, _SUB, 128), lambda i: (i, 0, 0),
+    rows_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream \
+        else pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, ssub, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    slot_spec = pl.BlockSpec((1, n_slots, _SUB, 128), lambda i: (i, 0, 0, 0),
+    slot_spec = pl.BlockSpec((1, n_slots, ssub, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [smem_spec, smem_spec, vmem_spec] + [ray_spec] * 4
+    in_specs = [smem_spec, smem_spec, rows_spec] + [ray_spec] * 4
     operands = [sc.meta, sc.basis.reshape(-1), sc.rows]
     if lists:
         tl = _packet_cluster_lists(sc, o, jnp.asarray(t_limit, jnp.float32),
@@ -368,17 +419,23 @@ def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
                                         lambda i: (i, 0, 0),
                                         memory_space=pltpu.SMEM))
         operands.insert(0, tl)
+    scratch = []
+    if stream:
+        scratch = [pltpu.VMEM(((cluster or CLUSTER) // 8, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
     topq, ts, ids = pl.pallas_call(
         partial(_kernel, n_slots=n_slots, n_clusters=n_clusters,
-                use_lists=lists, cluster=cluster),
+                use_lists=lists, cluster=cluster,
+                alpha_payload=alpha_payload, stream=stream),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=(ray_spec, slot_spec, slot_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, _SUB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, n_slots, _SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ssub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, ssub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_slots, ssub, 128), jnp.float32),
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands, *rays)
     topq = topq.reshape(-1)[:n]

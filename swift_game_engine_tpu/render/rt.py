@@ -153,7 +153,10 @@ _CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
 # Packet-granular compaction for work that re-TRACES (layers 2+, mirror,
 # refraction): gather whole live packets instead of scattered lanes so the
 # retrace stays tile-coherent (see _chunked_packets). 0 = lane compaction.
-_PACKET_COMPACT = os.environ.get("SGE_RT_PACKET_COMPACT", "1") == "1"
+# With the layered walk + continuation-batched shading (_LBATCH=2) no
+# transparency retraces exist, and lane compaction measures 336.6 vs
+# 339.6 ms for the remaining bounce traces — default OFF since round 3.
+_PACKET_COMPACT = os.environ.get("SGE_RT_PACKET_COMPACT", "0") == "1"
 # Layered shared-origin trace (ops.rt_kernel.trace_layers_so): ONE ordered
 # walk yields the nearest opaque hit + the (max_layers-1 .. max_layers)
 # nearest translucent hits per lane, so the primary trace AND every
@@ -170,6 +173,42 @@ _LAYERED = os.environ.get("SGE_RT_LAYERED", "1") == "1"
 # the opaque hit (then the last layer shades the opaque early). 0 = auto
 # (max_layers).
 _LAYER_SLOTS = int(os.environ.get("SGE_RT_LAYER_SLOTS", "0"))
+# Light-space Morton sort of shadow-ray origins before the cluster shadow
+# kernel (see _light_morton_order): per-lane records are independent of
+# packet grouping, so sorted-trace + inverse scatter is bit-identical while
+# every packet gets a tight light-space footprint (fewer candidate
+# clusters). Costs one argsort + two permutation gathers per shade call.
+_SHADOW_SORT = os.environ.get("SGE_SHADOW_SORT", "0") == "1"
+# Alpha-payload shadow records: the cluster build bakes 2 + material alpha
+# into the record payload, so applying the reference layer semantics needs
+# NO barycentrics or material gathers per record. Exact whenever no bound
+# base texture carries alpha (the payload IS the shadow-filter alpha);
+# automatically disabled when alpha textures are in use.
+_SHADOW_ALPHA = os.environ.get("SGE_SHADOW_ALPHA", "1") == "1"
+# Sort-based compaction: _chunked's per-iteration nonzero scan + mask
+# scatter is replaced by ONE stable sort of the mask upfront; chunk
+# contents and order are identical (live lanes ascending). Measured on one
+# v5e @960x540 DemoScene frame: 357.8 -> 339.8 ms. Default ON.
+_SORT_COMPACT = os.environ.get("SGE_RT_SORT_COMPACT", "1") == "1"
+# Batched layer shading: with per-layer hit records known upfront (peels,
+# or the layered shared-origin walk), layers' found records shade in ONE
+# compacted chunk loop (colors + alphas scattered per record) and the
+# alpha accumulation chain runs elementwise afterwards.
+#   0 = off (sequential layer loop)
+#   1 = batch EVERY layer — measured LOSS (424.6 vs 357.7 ms @960x540):
+#       fragmenting the dense L1 shade into chunk programs costs more than
+#       the merged loop saves
+#   2 = batch CONTINUATION layers only (L2..): L1 keeps its efficient
+#       dense monolithic shade; the per-layer chunk loops (each with its
+#       own shadow dispatch + nested bounce chunking) merge into one.
+#       Measured (with sort-compaction + lane compaction) 336.6 -> 311.1
+#       ms @960x540 — default.
+_LBATCH = int(os.environ.get("SGE_RT_LBATCH", "2"))
+# Cluster-rasterizer knobs threaded into rasterize_clusters (0 = module
+# defaults; see render.tile_raster).
+_RASTER_LISTS = os.environ.get("SGE_RASTER_LISTS", "0") == "1"
+_RASTER_TILE_H = int(os.environ.get("SGE_RASTER_TILE_H", "0"))
+_RASTER_CLUSTER = int(os.environ.get("SGE_RASTER_CLUSTER_RT", "0"))
 
 
 def _chunked_trace(mask, body, carry, cap_lanes):
@@ -189,6 +228,8 @@ def _chunked(mask, body, carry, cap=None):
     drop; gathers must clamp). Skips entirely when ``mask`` is empty."""
     p = mask.shape[0]
     cap = min(p, _CHUNK if cap is None else cap)
+    if _SORT_COMPACT:
+        return _chunked_sorted(mask, body, carry, cap)
 
     def cond(c):
         m, _ = c
@@ -204,6 +245,84 @@ def _chunked(mask, body, carry, cap=None):
 
     _, carry = jax.lax.while_loop(cond, step, (mask, carry))
     return carry
+
+
+def _chunked_sorted(mask, body, carry, cap):
+    """Same contract (and identical chunk contents) as ``_chunked``, but
+    the chunk schedule comes from ONE stable sort — live lanes first in
+    ascending lane order — instead of a full nonzero scan + mask scatter
+    per iteration."""
+    p = mask.shape[0]
+    count = jnp.sum(mask.astype(jnp.int32))
+    order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8),
+                        stable=True).astype(jnp.int32)
+    pad = (-p) % cap
+    if pad:
+        order = jnp.concatenate([order, jnp.full(pad, p, jnp.int32)])
+
+    def cond(c):
+        i = c[0]
+        return i * cap < count
+
+    def step(c):
+        i, carry = c
+        idx = jax.lax.dynamic_slice(order, (i * cap,), (cap,))
+        valid = (i * cap + jnp.arange(cap, dtype=jnp.int32)) < count
+        idx = jnp.where(valid, idx, p)
+        carry = body(idx, valid, carry)
+        return i + 1, carry
+
+    _, carry = jax.lax.while_loop(cond, step, (jnp.int32(0), carry))
+    return carry
+
+
+def _compacted(mask, body, defaults, cap=None):
+    """Sort-based compaction for pure gather->compute->scatter bodies:
+    ``body(idx, valid) -> tuple`` of (cap, ...) chunk results, scattered to
+    the set lanes of ``mask``; unset lanes keep ``defaults`` (a tuple of
+    (p, ...) arrays). Zero iterations on an empty mask."""
+    p = mask.shape[0]
+    cap = min(p, _CHUNK if cap is None else cap)
+
+    def wrapped(idx, valid, outs):
+        res = body(idx, valid)
+        return tuple(o.at[idx].set(r) for o, r in zip(outs, res))
+
+    return _chunked_sorted(mask, wrapped, tuple(defaults), cap)
+
+
+def _part1by1(x):
+    """Spread the low 16 bits of x to even bit positions."""
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _light_morton_order(basis, o, t_lim):
+    """Permutation grouping shadow-ray origins by light-space locality:
+    Morton codes over the (e1, e2) light-plane coordinates (basis rows 0-1
+    of ShadowClusters.basis), 10 bits per axis over the live-lane bounding
+    rect; dead lanes (t_lim <= 0) sort last (into fully-dead packets that
+    exit immediately). Per-lane shadow records are independent of packet
+    grouping, so trace(o[order]) scattered back through the inverse
+    permutation is bit-identical to the unsorted trace."""
+    a = o @ basis[0]
+    b = o @ basis[1]
+    live = t_lim > 0.0
+    big = jnp.float32(BIG)
+    a0 = jnp.min(jnp.where(live, a, big))
+    a1 = jnp.max(jnp.where(live, a, -big))
+    b0 = jnp.min(jnp.where(live, b, big))
+    b1 = jnp.max(jnp.where(live, b, -big))
+    qa = jnp.clip((a - a0) / jnp.maximum(a1 - a0, 1e-6) * 1023.0,
+                  0.0, 1023.0).astype(jnp.int32)
+    qb = jnp.clip((b - b0) / jnp.maximum(b1 - b0, 1e-6) * 1023.0,
+                  0.0, 1023.0).astype(jnp.int32)
+    code = (_part1by1(qb) << 1) | _part1by1(qa)
+    code = jnp.where(live, code, jnp.int32(1) << 22)
+    return jnp.argsort(code, stable=True)
 
 
 def _chunked_packets(mask, body, carry, cap_packets: int):
@@ -381,28 +500,38 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
 
 
 def _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids, active,
-                          max_dist, shadow_layers: int, usage):
+                          max_dist, shadow_layers: int, usage,
+                          alpha_payload: bool = False):
     """The reference's exact shadow layer semantics, elementwise over
     single-walk records: hits are processed nearest-first; each translucent
     layer multiplies by (1 - alpha); the walk stops at shadow <= 0.02 or
     after shadow_layers layers; an opaque hit inside the remaining layer
-    budget zeroes the factor."""
+    budget zeroes the factor.
+
+    ``alpha_payload``: ``ids`` carries ``2 + alpha`` per record instead of
+    a triangle id (cluster build with alpha=...), so no barycentrics or
+    material gathers run at all."""
     from ..ops.rt_kernel import barycentrics
     p = o_sh.shape[0]
     shadow = jnp.ones(p)
     applied = jnp.zeros(p, jnp.int32)
     for k in range(shadow_layers):
-        tri_k = jnp.floor(ids[:, k]).astype(jnp.int32)
         t_k = ts[:, k]
-        if usage.base and usage.alpha_tex:
-            t_safe = jnp.where(tri_k >= 0, t_k, 0.0)
-            u_k, v_k, _ = barycentrics(fg.bvh, o_sh,
-                                       jnp.broadcast_to(l, o_sh.shape),
-                                       t_safe, tri_k)
+        if alpha_payload:
+            exist = ids[:, k] >= 0
+            a_k = ids[:, k] - 2.0
         else:
-            u_k = v_k = jnp.zeros_like(t_k)
-        a_k = _sample_alpha(geo, tri_k, u_k, v_k, usage)
-        can = active & (tri_k >= 0) & (t_k < t_opq) & (t_k < max_dist) \
+            tri_k = jnp.floor(ids[:, k]).astype(jnp.int32)
+            exist = tri_k >= 0
+            if usage.base and usage.alpha_tex:
+                t_safe = jnp.where(exist, t_k, 0.0)
+                u_k, v_k, _ = barycentrics(fg.bvh, o_sh,
+                                           jnp.broadcast_to(l, o_sh.shape),
+                                           t_safe, tri_k)
+            else:
+                u_k = v_k = jnp.zeros_like(t_k)
+            a_k = _sample_alpha(geo, tri_k, u_k, v_k, usage)
+        can = active & exist & (t_k < t_opq) & (t_k < max_dist) \
             & (shadow > 0.02)
         shadow = jnp.where(can, shadow * (1.0 - a_k), shadow)
         applied = applied + can.astype(jnp.int32)
@@ -430,12 +559,28 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
         t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
                           jnp.float32(0.0))
-        t_opq, ts, ids = trace_shadow_clusters(
-            shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
-            interpret=jax.default_backend() != "tpu",
-            lists=_SHADOW_LISTS)
+        # alpha_payload must mirror the build condition in _render_rays
+        # (both derive it from the static usage tuple).
+        ap = _SHADOW_ALPHA and not (usage.base and usage.alpha_tex)
+        if _SHADOW_SORT:
+            order = _light_morton_order(shadow_clusters.basis, o_sh, t_lim)
+            t_opq_s, ts_s, ids_s = trace_shadow_clusters(
+                shadow_clusters, o_sh[order], t_lim[order],
+                n_slots=shadow_layers,
+                interpret=jax.default_backend() != "tpu",
+                lists=_SHADOW_LISTS, alpha_payload=ap)
+            p = o_sh.shape[0]
+            t_opq = jnp.zeros(p).at[order].set(t_opq_s)
+            ts = jnp.zeros((p, shadow_layers)).at[order].set(ts_s)
+            ids = jnp.zeros((p, shadow_layers)).at[order].set(ids_s)
+        else:
+            t_opq, ts, ids = trace_shadow_clusters(
+                shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
+                interpret=jax.default_backend() != "tpu",
+                lists=_SHADOW_LISTS, alpha_payload=ap)
         return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
-                                     active, max_dist, shadow_layers, usage)
+                                     active, max_dist, shadow_layers, usage,
+                                     alpha_payload=ap)
 
     if shadow_rows is not None:
         # Single-walk shadow records (see ops/rt_kernel shadow-factor
@@ -614,18 +759,20 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 
 
 # Primary visibility source for the RT path:
+#   "auto"   — "trace" while the BVH fits the SMEM/VMEM kernels (the
+#              measured winner at demo scale: peels lose in-frame,
+#              405 vs 327 ms @960x540), else "peels": cluster
+#              rasterization has no tree-size cliff (rows stream from HBM,
+#              see tile_raster ``stream``), so un-decimated scenes get
+#              rasterized visibility + streamed cluster shadows and only
+#              bounce rays pay the HBM-streaming BVH walk.
 #   "trace"  — BVH packet kernel (the reference's intersector semantics)
 #   "raster" — binned tile rasterizer (render.tile_raster) for LAYER 1 only;
 #              transparency layers 2+ still trace chunk-compacted
 #              continuation rays (their cost scales with covered pixels)
 #   "peels"  — depth-peeled rasterizer supplies EVERY layer's hit records
 #              (no visibility traces at all; dense per-layer cost)
-# Measured @960x540 on one v5e, heavy view (examples/prof_isolate.py):
-# full peels lose to traced continuations (702 vs 597 ms/frame) because the
-# peel pass is dense over all pixels while traced layers 2/3 compact to the
-# ~20% of lanes still accumulating; single-layer raster primary wins when
-# primary rays dominate. Default chosen by bench measurement.
-_RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "trace")
+_RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "auto")
 # Binning mode for rasterized visibility (see render.raster): "clusters"
 # (front-to-back cluster walk + occlusion early-exit) or "lists" (legacy
 # per-tile candidate lists).
@@ -659,11 +806,16 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
 
     primary = None
     peels = None
-    if _RT_PRIMARY in ("raster", "peels"):
+    mode = _RT_PRIMARY
+    if mode == "auto":
+        from ..ops.rt_kernel import so_available
+        mode = "trace" if (_FORCE_JAX_TRAVERSAL or
+                           so_available(fg.bvh.rows)) else "peels"
+    if mode in ("raster", "peels"):
         if view_proj is None:
             view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
         interp = jax.default_backend() != "tpu"
-    if _RT_PRIMARY == "peels":
+    if mode == "peels":
         # Rasterized visibility for layer 1 AND the transparency layers:
         # layer L's hit record is the depth-peel strictly behind layer L-1
         # (same surface sequence the traced continuation rays walk — rays
@@ -675,7 +827,8 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             raw_peels = rasterize_clusters(
                 fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
                 width, height, layers=max_layers, interpret=interp,
-                opaque=_opaque_tris(geo))
+                opaque=_opaque_tris(geo), cluster=_RASTER_CLUSTER,
+                tile_h=_RASTER_TILE_H, lists=_RASTER_LISTS)
         else:
             from .tile_raster import rasterize_peeled
             raw_peels = rasterize_peeled(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
@@ -683,12 +836,15 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                                          max_layers, interpret=interp)
         peels = [(h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
                   h.found[perm]) for h in raw_peels]
-    elif _RT_PRIMARY == "raster":
+    elif mode == "raster":
         if _RASTER_MODE == "clusters":
             from .tile_raster import rasterize_clusters
             h = rasterize_clusters(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
                                    view_proj, cam_pos, width, height,
-                                   layers=1, interpret=interp)[0]
+                                   layers=1, interpret=interp,
+                                   cluster=_RASTER_CLUSTER,
+                                   tile_h=_RASTER_TILE_H,
+                                   lists=_RASTER_LISTS)[0]
         else:
             from .tile_raster import rasterize
             h = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj,
@@ -814,8 +970,14 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             1 <= shadow_layers <= 4:
         from ..ops.cluster_shadow import build_shadow_clusters
         l0 = normalize(-lights.direction[0])
+        # Always bake the alpha payload (slot 13 was spare); whether the
+        # kernel READS it is decided per shade call from the static usage
+        # (see _shadow_factor).
+        mid_t = jnp.maximum(geo.tri_material, 0)
+        alpha_tri = jnp.clip(geo.materials.alpha[mid_t], 0.0, 1.0)
         shadow_clusters = build_shadow_clusters(
-            fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent)
+            fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent,
+            alpha=alpha_tri)
     elif _SHADOW_KERNEL and not _FORCE_JAX_TRAVERSAL and \
             1 <= shadow_layers <= 4:
         from ..ops.rt_kernel import (shadow_prepass_available,
@@ -859,26 +1021,86 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         next_o = hit_pos + d_l * (bias * 2.0)[..., None]
         return color, contrib, next_o
 
+    def shade_layers_batched(recs, accum=None, accum_alpha=None, live=None):
+        """Batched layer shading (see _LBATCH): shade the given layers'
+        found records in one compacted chunk loop (per-record color + alpha
+        scattered to (L*p,) buffers), then run the alpha accumulation chain
+        elementwise. ``recs``: [(t, tri, u, v, found)] per layer; u/v None
+        -> barycentrics computed inside the chunk. ``accum``/``accum_alpha``
+        /``live``: chain state from layers already shaded (mode 2 shades
+        L1 densely first). Per-record color is independent of the alpha
+        chain, so this is math-identical to the sequential layer loop."""
+        from ..ops.rt_kernel import barycentrics
+        nl = len(recs)
+        t_s = jnp.stack([r[0] for r in recs]).reshape(-1)
+        tri_s = jnp.stack([r[1] for r in recs]).reshape(-1)
+        f_s = [r[4] for r in recs]
+        have_uv = recs[0][2] is not None
+        if have_uv:
+            u_s = jnp.stack([r[2] for r in recs]).reshape(-1)
+            v_s = jnp.stack([r[3] for r in recs]).reshape(-1)
+        if accum is None:
+            accum = jnp.zeros((p, 3))
+            accum_alpha = jnp.zeros(p)
+            live = jnp.ones(p, bool)
+
+        def chunk(idx, valid, carry):
+            colors, alphas = carry
+            safe = jnp.minimum(idx, nl * p - 1)
+            lane = safe % p
+            oc = ray_o[lane]
+            dc = d[lane]
+            tc = jnp.where(valid, t_s[safe], 1.0)
+            tric = jnp.where(valid, tri_s[safe], -1)
+            if have_uv:
+                uc, vc = u_s[safe], v_s[safe]
+            else:
+                uc, vc, _ = barycentrics(fg.bvh, oc, dc, tc, tric)
+            # alpha_in=0 -> shade_layer's contrib IS the record's alpha
+            color, alpha, _ = shade_layer(oc, dc, tc, tric, uc, vc, valid,
+                                          jnp.zeros_like(tc))
+            colors = colors.at[idx].set(color)
+            alphas = alphas.at[idx].set(alpha)
+            return colors, alphas
+
+        # Records already settled by the incoming chain (saturated or
+        # chain-dead lanes) need no shading at all.
+        chain_open = live & (accum_alpha < 0.99)
+        flat = jnp.concatenate([f & chain_open for f in f_s])
+        colors, alphas = _chunked(
+            flat, chunk, (jnp.zeros((nl * p, 3)), jnp.zeros(nl * p)),
+            cap=_CHUNK)
+        colors = colors.reshape(nl, p, 3)
+        alphas = alphas.reshape(nl, p)
+        for li in range(nl):
+            live = live & f_s[li] & (accum_alpha < 0.99)
+            contrib = jnp.where(live, alphas[li] * (1.0 - accum_alpha), 0.0)
+            accum = accum + colors[li] * contrib[..., None]
+            accum_alpha = accum_alpha + contrib
+        return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
+
     # ---- layered shared-origin path: ONE walk yields every layer's hit
     # records; no continuation re-traces exist at all (see _LAYERED).
     if so_rows is not None and _LAYERED and peels is None and primary is None:
         from ..ops.rt_kernel import (trace_layers_so, barycentrics,
                                      BIG as KBIG)
         interp = jax.default_backend() != "tpu"
+        n_slots = _LAYER_SLOTS if _LAYER_SLOTS > 0 else max_layers
         t_opq, otri, lts, lids = trace_layers_so(
             so_rows, cam, d, jnp.full(p, KBIG, jnp.float32),
-            n_slots=max_layers, interpret=interp)
+            n_slots=n_slots, interpret=interp)
         opq_ok = t_opq < KBIG
 
-        accum = jnp.zeros((p, 3))
-        accum_alpha = jnp.zeros(p)
+        # Per-layer records from the walk's slots (elementwise floor
+        # chain — independent of shading).
+        recs = []
         floor = jnp.zeros(p)
         for layer in range(max_layers):
             # next record past the floor: smallest translucent t in
             # (floor, t_opq), else the opaque hit if it clears the floor.
             tn = jnp.full(p, KBIG)
             idn = jnp.full(p, -1.0)
-            for k in reversed(range(max_layers)):
+            for k in reversed(range(n_slots)):
                 ok = (lids[:, k] >= 0) & (lts[:, k] > floor) & \
                     (lts[:, k] < t_opq)
                 tn = jnp.where(ok, lts[:, k], tn)
@@ -891,7 +1113,14 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             t_l = jnp.where(found_l, t_l, BIG)
             tri_l = jnp.where(found_l, tri_l, -1)
             floor = jnp.where(found_l, t_l + 2.0 * shadow_bias(t_l), floor)
+            recs.append((t_l, tri_l, None, None, found_l))
 
+        if _LBATCH == 1:
+            return shade_layers_batched(recs)
+
+        accum = jnp.zeros((p, 3))
+        accum_alpha = jnp.zeros(p)
+        for layer, (t_l, tri_l, _, _, found_l) in enumerate(recs):
             if layer == 0:
                 u_l, v_l, _ = barycentrics(fg.bvh, ray_o, d, t_l, tri_l)
                 color, contrib, _ = shade_layer(ray_o, d, t_l, tri_l,
@@ -899,6 +1128,9 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                                                 accum_alpha)
                 accum = color * contrib[..., None]
                 accum_alpha = contrib
+                if _LBATCH == 2 and max_layers > 1:
+                    return shade_layers_batched(recs[1:], accum,
+                                                accum_alpha, found_l)
                 continue
 
             def chunk(idx, valid, carry, _t=t_l, _tri=tri_l):
@@ -922,6 +1154,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
 
     # ---- layer 1: dense over every ray (or pre-rasterized hit records).
+    if peels is not None and _LBATCH == 1:
+        return shade_layers_batched(peels)
     if peels is not None:
         t, tri, u, v, found = peels[0]
     elif primary is not None:
@@ -949,6 +1183,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     # ---- layers 2..max_layers, pre-rasterized: shade peel L's records,
     # chunk-compacted to lanes still accumulating. Static unroll over the
     # (small) layer count; an empty layer's chunk loop exits immediately.
+    if peels is not None and _LBATCH == 2 and max_layers > 1:
+        return shade_layers_batched(peels[1:], accum, accum_alpha, live)
     if peels is not None:
         for layer in range(1, max_layers):
             t_l, tri_l, u_l, v_l, f_l = peels[layer]

@@ -612,14 +612,22 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
 def _cluster_kernel(*refs,
                     width, height, tiles_x, layers, n_clusters,
                     cluster: int = 0, tile_h: int = 0,
-                    use_lists: bool = False):
+                    use_lists: bool = False, stream: bool = False):
     """Front-to-back cluster walk with per-tile scalar AABB reject and
     occlusion early-exit; keeps the ``layers`` nearest fragments per pixel
     (insertion network, as _raster_kernel_peeled).
 
     ``use_lists``: the walk reads this tile's PRECOMPUTED candidate
     clusters (depth-ordered, XLA-built overlap lists — see
-    _tile_cluster_lists) instead of scalar-scanning every cluster."""
+    _tile_cluster_lists) instead of scalar-scanning every cluster.
+
+    ``stream``: the row table stays in HBM (beyond-VMEM triangle counts —
+    the un-decimated path); each PROCESSED cluster's rows are DMA'd into a
+    VMEM scratch window before its group loop. Rejected clusters cost no
+    DMA, so traffic is (processed clusters x cluster rows), not T."""
+    if stream:
+        buf_ref, sem = refs[-2], refs[-1]
+        refs = refs[:-2]
     if use_lists:
         (lists_ref, meta_ref, rows_ref, id_out, b1_out, b2_out,
          w_out) = refs
@@ -667,11 +675,21 @@ def _cluster_kernel(*refs,
 
     def do_cluster(base_i, slots_flat):
         # base_i indexes PACKED rows (8 triangles of 16 lanes per row)
+        if stream:
+            cl8 = (cluster or CLUSTER) // 8
+            copy = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(base_i, cl8), :], buf_ref, sem)
+            copy.start()
+            copy.wait()
+
         def group(g, slots_flat):
             slots = [list(slots_flat[5 * l:5 * l + 5]) for l in range(layers)]
             if track_opq:
                 on, od = slots_flat[5 * layers], slots_flat[5 * layers + 1]
-            rows = rows_ref[pl.ds(base_i + g, 1), :]
+            if stream:
+                rows = buf_ref[pl.ds(g, 1), :]
+            else:
+                rows = rows_ref[pl.ds(base_i + g, 1), :]
             for j in range(8):
                 def s(i):
                     return rows[0, j * 16 + i]
@@ -805,16 +823,25 @@ def _tile_cluster_lists(meta, tiles_x: int, tiles_y: int, tile_h: int):
     return jnp.concatenate([count[:, None], order], axis=1)
 
 
+# Row tables beyond this many bytes stream from HBM (see _cluster_kernel
+# ``stream``): the scoped-VMEM budget is ~16 MB shared with the tile
+# outputs, so un-decimated triangle counts cannot hold the whole table.
+_ROWS_VMEM_MAX = int(os.environ.get("SGE_RASTER_ROWS_VMEM", str(6 << 20)))
+
+
 def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        height: int, layers: int = 1,
                        interpret: bool = False, opaque=None,
                        cluster: int = 0, tile_h: int = 0,
-                       lists: bool = False):
+                       lists: bool = False, stream=None):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
     ``opaque``: optional (T,) bool enabling opaque pixel termination for
-    the early-exit bound (see _setup_clusters)."""
+    the early-exit bound (see _setup_clusters).
+    ``stream``: keep the row table in HBM and DMA processed clusters into
+    a VMEM window (None = auto by table size) — removes the VMEM triangle
+    cliff for un-decimated scenes."""
     th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // th)
@@ -823,10 +850,13 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     rows, meta, n_clusters = _setup_clusters(v0, v1, v2, view_proj,
                                              width, height, opaque=opaque,
                                              cluster=cluster)
+    if stream is None:
+        stream = rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
 
     kernel = partial(_cluster_kernel, width=width, height=height,
                      tiles_x=tiles_x, layers=layers, n_clusters=n_clusters,
-                     cluster=cluster, tile_h=th, use_lists=lists)
+                     cluster=cluster, tile_h=th, use_lists=lists,
+                     stream=stream)
     tile_spec = pl.BlockSpec((1, layers, th, TILE_W),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -834,7 +864,8 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                                   jnp.float32)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY) if stream
+        else pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     operands = [meta, rows]
     if lists:
@@ -847,6 +878,10 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                                         lambda i: (i, 0, 0),
                                         memory_space=pltpu.SMEM))
         operands.insert(0, tl)
+    scratch = []
+    if stream:
+        scratch = [pltpu.VMEM(((cluster or CLUSTER) // 8, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
     tid, b1, b2, w = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -856,6 +891,7 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
             jax.ShapeDtypeStruct((tiles, layers, th, TILE_W), jnp.int32),
             oshape, oshape, oshape,
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
 

@@ -65,6 +65,15 @@ for l in range(2):
 # opaque termination: layer-1 records identical; layer-2 records identical
 # wherever layer 1 was NOT opaque (behind an opaque fragment the records
 # are unconstrained — they are never shaded).
+# HBM-streamed rows (the un-decimated path): the walk is unchanged, only
+# each processed cluster's rows arrive via a DMA'd VMEM window — records
+# bit-identical.
+outs_s = rasterize_clusters(v0, v1, v2, vp, cp, W, H, layers=2,
+                            interpret=True, stream=True)
+for l in range(2):
+    assert np.array_equal(np.asarray(outs[l].tri), np.asarray(outs_s[l].tri))
+    assert np.array_equal(np.asarray(outs[l].u), np.asarray(outs_s[l].u))
+
 outs_o = rasterize_clusters(v0, v1, v2, vp, cp, W, H, layers=2,
                             interpret=True, opaque=jnp.asarray(opaque))
 assert np.array_equal(np.asarray(outs[0].tri), np.asarray(outs_o[0].tri))

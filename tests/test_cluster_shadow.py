@@ -52,6 +52,15 @@ assert np.array_equal(t_opq, np.asarray(t_opq_l))
 assert np.array_equal(ts, np.asarray(ts_l))
 assert np.array_equal(ids, np.asarray(ids_l))
 
+# HBM-streamed rows (un-decimated path): identical walk, rows arrive via
+# a DMA'd VMEM window -> bit-identical records.
+t_opq_s, ts_s2, ids_s2 = trace_shadow_clusters(sc, jnp.asarray(o),
+                                               jnp.asarray(t_lim), n_slots=4,
+                                               interpret=True, stream=True)
+assert np.array_equal(t_opq, np.asarray(t_opq_s))
+assert np.array_equal(ts, np.asarray(ts_s2))
+assert np.array_equal(ids, np.asarray(ids_s2))
+
 # alpha-payload mode: the record payload is 2 + material alpha instead of
 # the triangle id; same hits, same ts, payload = alpha of the same tris.
 tri_alpha = rng.random(T).astype(np.float32)

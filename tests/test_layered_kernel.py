@@ -131,6 +131,31 @@ def test_layered_records_vs_brute_force():
     assert "UNIT_OK" in out
 
 
+def test_layered_frame_batched_sorted_knobs(tmp_path):
+    """SGE_RT_LBATCH + SGE_SHADOW_SORT + SGE_RT_SORT_COMPACT reshape the
+    shading/record schedule, not the math: batched layer shading computes
+    the same per-record colors and alpha chain, the Morton shadow sort is
+    a permutation of exact records, and sort-compaction produces identical
+    chunks — the layered frame must be unchanged to fp noise."""
+    import numpy as np
+    a = str(tmp_path / "base.npy")
+    b = str(tmp_path / "knobs.npy")
+    c = str(tmp_path / "cont.npy")
+    _run(FRAME_CODE, {"TEST_LAYERED": "1", "TEST_OUT": a})
+    _run(FRAME_CODE, {"TEST_LAYERED": "1", "TEST_OUT": b,
+                      "SGE_RT_LBATCH": "1", "SGE_SHADOW_SORT": "1",
+                      "SGE_RT_SORT_COMPACT": "1"})
+    _run(FRAME_CODE, {"TEST_LAYERED": "1", "TEST_OUT": c,
+                      "SGE_RT_LBATCH": "2"})
+    ia = np.load(a)
+    ib = np.load(b)
+    ic = np.load(c)
+    assert np.allclose(ia, ib, rtol=1e-5, atol=1e-5), \
+        float(np.abs(ia - ib).max())
+    assert np.allclose(ia, ic, rtol=1e-5, atol=1e-5), \
+        float(np.abs(ia - ic).max())
+
+
 def test_layered_frame_matches_continuation_path(tmp_path):
     """A demo frame whose layers come from the single layered walk equals
     the t-floor continuation loop (both on the Pallas interpret kernels) up
