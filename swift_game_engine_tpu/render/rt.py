@@ -190,6 +190,13 @@ _SHADOW_ALPHA = os.environ.get("SGE_SHADOW_ALPHA", "1") == "1"
 # contents and order are identical (live lanes ascending). Measured on one
 # v5e @960x540 DemoScene frame: 357.8 -> 339.8 ms. Default ON.
 _SORT_COMPACT = os.environ.get("SGE_RT_SORT_COMPACT", "1") == "1"
+# Compaction-schedule builder: "scan" = cumsum + drop-scatter (O(n), one
+# prefix sum and one unique-index scatter), "sort" = stable argsort of the
+# mask (O(n log n)). Both produce the SAME schedule — live lanes ascending
+# — so chunk contents are identical; only the cost of building the
+# permutation differs. Measured @960x540 demo frame (trace mode, reps=4):
+# 276.4 (scan) vs 274.3 ms (sort) — a wash; the sort is not a hot spot.
+_COMPACT_ORDER = os.environ.get("SGE_RT_COMPACT_ORDER", "sort")
 # Batched layer shading: with per-layer hit records known upfront (peels,
 # or the layered shared-origin walk), layers' found records shade in ONE
 # compacted chunk loop (colors + alphas scattered per record) and the
@@ -204,6 +211,23 @@ _SORT_COMPACT = os.environ.get("SGE_RT_SORT_COMPACT", "1") == "1"
 #       Measured (with sort-compaction + lane compaction) 336.6 -> 311.1
 #       ms @960x540 — default.
 _LBATCH = int(os.environ.get("SGE_RT_LBATCH", "2"))
+# Simple-unlit record split for batched layer shading: records whose
+# material is unlit with NO bound textures, no transmission and no mirror
+# eligibility (all static per material) shade as packed-row gathers —
+# color = base_factor + emissive_factor, alpha = alpha factor — exactly
+# the full path's unlit branch output, with no barycentrics, shadow
+# dispatch, BRDF/IBL math or bounce machinery. Measured LOSS @960x540
+# demo frame (274.3 vs 252.9 ms, bit-identical output): the (L*P,)-lane
+# mask build + second compacted pass cost more than the batched chunk
+# loop saves — the unlit fast path inside the chunk body (dead shadow
+# packets, gated BRDF) already absorbs most of the win. Default OFF.
+_UNLIT_SPLIT = os.environ.get("SGE_RT_UNLIT_SPLIT", "0") == "1"
+# Timing-only attribution knobs (examples/prof_shade_parts.py): knock out
+# one shade sub-part each. WRONG output — never enabled in production.
+_PROF_SHADOW_OFF = os.environ.get("SGE_PROF_SHADOW_OFF", "0") == "1"
+_PROF_BRDF_OFF = os.environ.get("SGE_PROF_BRDF_OFF", "0") == "1"
+_PROF_NO_BOUNCE = os.environ.get("SGE_PROF_NO_BOUNCE", "0") == "1"
+_PROF_LAYERS1 = os.environ.get("SGE_PROF_LAYERS1", "0") == "1"
 # Cluster-rasterizer knobs threaded into rasterize_clusters (0 = module
 # defaults; see render.tile_raster).
 _RASTER_LISTS = os.environ.get("SGE_RASTER_LISTS", "0") == "1"
@@ -254,8 +278,17 @@ def _chunked_sorted(mask, body, carry, cap):
     per iteration."""
     p = mask.shape[0]
     count = jnp.sum(mask.astype(jnp.int32))
-    order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8),
-                        stable=True).astype(jnp.int32)
+    if _COMPACT_ORDER == "scan":
+        # cumsum + drop-scatter: live lane i lands at slot (#live < i).
+        # Slots >= count stay 0 — never read live (idx is masked by
+        # ``valid`` before use), so any in-range filler is fine.
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        lane = jnp.arange(p, dtype=jnp.int32)
+        order = jnp.zeros(p, jnp.int32).at[
+            jnp.where(mask, pos, p)].set(lane, mode="drop")
+    else:
+        order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8),
+                            stable=True).astype(jnp.int32)
     pad = (-p) % cap
     if pad:
         order = jnp.concatenate([order, jnp.full(pad, p, jnp.int32)])
@@ -473,6 +506,31 @@ def _sample_material(geo: SceneGeometry, mid, uv, usage, unlit=None):
                 normal_tex=normal_tex,
                 normal_scale=normal_scale, mid=mid,
                 unlit=mats.unlit[mid] if unlit is None else unlit)
+
+
+def _simple_unlit_tri(geo: SceneGeometry, usage, enable_mirror,
+                      enable_refraction):
+    """(T,) bool: triangles whose shade is fully determined by material
+    factors — unlit, no taps that could alter base/alpha/emissive or the
+    (static) mirror gate, no transmission. For these, the full _shade_hit
+    unlit branch reduces to base_factor + emissive_factor with the factor
+    alpha (see _UNLIT_SPLIT)."""
+    mats = geo.materials
+    simple = jnp.asarray(mats.unlit, bool)
+    if usage.base:
+        simple = simple & (mats.base_tex < 0)
+    if usage.emissive:
+        simple = simple & (mats.emissive_tex < 0)
+    if usage.mr:
+        # a bound MR texture could push the material into the mirror gate
+        simple = simple & (mats.mr_tex < 0)
+    if enable_refraction:
+        simple = simple & (jnp.clip(mats.transmission, 0.0, 1.0) <= 0.0)
+    if enable_mirror:
+        mirror = (jnp.clip(mats.metallic, 0.0, 1.0) >= 0.8) & \
+            (jnp.clip(mats.roughness, 0.05, 1.0) <= 0.08)
+        simple = simple & jnp.logical_not(mirror)
+    return simple[jnp.maximum(geo.tri_material, 0)]
 
 
 def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
@@ -729,15 +787,18 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         ndotl = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
         gate = active & lit & lights.enabled[i] & (cam_dist <= max_dist) \
             & (ndotl > 0)
-        if i == 0:
+        if i == 0 and not _PROF_SHADOW_OFF:
             shadow = _shadow_factor(geo, fg, hit_pos, n, lights.direction[i],
                                     max_dist, bias, gate, shadow_layers,
                                     usage, shadow_rows=shadow_rows,
                                     shadow_clusters=shadow_clusters)
         else:
             shadow = jnp.ones_like(ndotl)
-        brdf = eval_brdf(n, view, jnp.broadcast_to(l, n.shape),
-                         m["base"], m["metallic"], m["roughness"])
+        if _PROF_BRDF_OFF:
+            brdf = m["base"]
+        else:
+            brdf = eval_brdf(n, view, jnp.broadcast_to(l, n.shape),
+                             m["base"], m["metallic"], m["roughness"])
         li = lights.color[i] * lights.intensity[i]
         direct = direct + jnp.where(gate[..., None],
                                     brdf * li * (ndotl * shadow)[..., None], 0.0)
@@ -955,6 +1016,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
 
     The shardable core: embarrassingly parallel over rays (parallel.sharding
     partitions this over the device mesh)."""
+    if _PROF_LAYERS1:   # timing-only: primary layer + bounces, no L2+
+        max_layers = 1
     p = ray_o.shape[0]
     cam = jnp.asarray(cam_pos, jnp.float32)
     usage = texture_usage(geo)  # static: geo is concrete at trace time
@@ -1003,6 +1066,10 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             geo, fg, ibl, lights, cam, o_l, d_l, t, tri, u, v, found,
             True, shadow_layers, usage=usage, shadow_rows=shadow_rows,
             shadow_clusters=shadow_clusters)
+        if _PROF_NO_BOUNCE:
+            contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
+            next_o = hit_pos + d_l * (bias * 2.0)[..., None]
+            return color, contrib, next_o
         if enable_mirror:
             mirror = found & (m["roughness"] <= 0.08) & (m["metallic"] >= 0.8)
             color = _mirror_pass(geo, fg, ibl, lights, cam, d_l, n, hit_pos,
@@ -1067,9 +1134,29 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         # chain-dead lanes) need no shading at all.
         chain_open = live & (accum_alpha < 0.99)
         flat = jnp.concatenate([f & chain_open for f in f_s])
+        heavy = flat
+        rec_simple = None
+        if _UNLIT_SPLIT:
+            simple_tri = _simple_unlit_tri(geo, usage, enable_mirror,
+                                           enable_refraction)
+            rec_simple = flat & simple_tri[jnp.maximum(tri_s, 0)]
+            heavy = flat & jnp.logical_not(rec_simple)
         colors, alphas = _chunked(
-            flat, chunk, (jnp.zeros((nl * p, 3)), jnp.zeros(nl * p)),
+            heavy, chunk, (jnp.zeros((nl * p, 3)), jnp.zeros(nl * p)),
             cap=_CHUNK)
+        if rec_simple is not None:
+            def cheap(idx, valid):
+                tri_c = jnp.maximum(tri_s[jnp.minimum(idx, nl * p - 1)], 0)
+                mid = jnp.maximum(geo.tri_material[tri_c], 0)
+                row = geo.materials.packed[mid]
+                color = jnp.where(valid[:, None],
+                                  row[..., 0:3] + row[..., 6:9], 0.0)
+                alpha = jnp.where(valid, jnp.clip(row[..., 3], 0.0, 1.0),
+                                  0.0)
+                return color, alpha
+
+            colors, alphas = _compacted(rec_simple, cheap, (colors, alphas),
+                                        cap=_CHUNK)
         colors = colors.reshape(nl, p, 3)
         alphas = alphas.reshape(nl, p)
         for li in range(nl):
