@@ -79,7 +79,8 @@ def _ortho_basis(l):
 
 
 def build_shadow_clusters(v0, v1, v2, l, translucent,
-                          cluster: int = 0, alpha=None) -> ShadowClusters:
+                          cluster: int = 0, alpha=None,
+                          ids=None) -> ShadowClusters:
     """Per-frame XLA precompute (column-form math — see
     tile_raster._setup_clusters for why (T,3)-shaped ops are avoided).
 
@@ -130,7 +131,12 @@ def build_shadow_clusters(v0, v1, v2, l, translucent,
     c3 = x0 * g3x + y0 * g3y + z0 * g3z
 
     tcount = v0.shape[0]
-    ids = jnp.arange(tcount, dtype=jnp.float32)
+    if ids is None:
+        ids = jnp.arange(tcount, dtype=jnp.float32)
+    else:
+        # caller-supplied ORIGINAL triangle ids (compacted subsets keep
+        # their global ids so record consumers can gather geometry/material)
+        ids = jnp.asarray(ids, jnp.float32)
     ids = ids + 0.5 * jnp.asarray(translucent, jnp.float32)
     ids = jnp.where(ok, ids, -1.0)
 
@@ -442,3 +448,192 @@ def trace_shadow_clusters(sc: ShadowClusters, o, t_limit, n_slots: int = 4,
     ts = ts.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
     ids = ids.transpose(0, 2, 3, 1).reshape(-1, n_slots)[:n]
     return topq, ts, ids
+
+
+# ---------------------------------------------------------------------------
+# Split shadow kernels (round 4).
+#
+# The slotted kernel above pays a 4-deep insertion network per TRIANGLE over
+# the whole 4096-lane packet — ~2/3 of its per-triangle vector work — to
+# collect translucent records, though translucent triangles are a tiny,
+# static subset of the scene (the demo's collision-hull viz entities). The
+# exact same records come from two cheaper sweeps:
+#   * an OCCLUSION sweep over all triangles tracking only the nearest
+#     opaque t per lane (~20 vector ops/triangle, no insertion, and a
+#     tighter early-exit bound: min(t_lim, t_opq) has no open translucent
+#     slots holding it at BIG), and
+#   * the slotted kernel over the COMPACTED translucent subset (hundreds
+#     of triangles -> a handful of clusters).
+# _apply_shadow_records already filters translucent records by t < t_opq,
+# so composing (t_opq from sweep 1, slots from sweep 2) is bit-identical
+# to the single-kernel records.
+# ---------------------------------------------------------------------------
+
+
+class ShadowSplit(NamedTuple):
+    full: ShadowClusters                 # all triangles (occlusion sweep)
+    trans: object                        # ShadowClusters | None (slots)
+
+
+def build_shadow_split(v0, v1, v2, l, translucent, alpha=None,
+                       cluster: int = 0, trans_idx=None) -> ShadowSplit:
+    """``trans_idx``: STATIC (numpy) indices of translucent triangles —
+    derived from the scene's material table, so callers compute it once at
+    trace time (geo is concrete there)."""
+    full = build_shadow_clusters(v0, v1, v2, l, translucent,
+                                 cluster=cluster, alpha=alpha)
+    trans = None
+    if trans_idx is not None and len(trans_idx) > 0:
+        ti = jnp.asarray(trans_idx, jnp.int32)
+        al = None if alpha is None else jnp.asarray(alpha)[ti]
+        trans = build_shadow_clusters(
+            v0[ti], v1[ti], v2[ti], l,
+            jnp.ones(ti.shape[0], bool), cluster=min(cluster or CLUSTER, 64),
+            alpha=al, ids=ti.astype(jnp.float32))
+    return ShadowSplit(full=full, trans=trans)
+
+
+def _kernel_occl(*refs, n_clusters: int, cluster: int = 0,
+                 stream: bool = False):
+    """Occlusion sweep: nearest OPAQUE t per lane, no record slots."""
+    if stream:
+        buf_ref, sem = refs[-2], refs[-1]
+        refs = refs[:-2]
+    (meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
+     topq_out) = refs
+    px = ox_ref[0]
+    py = oy_ref[0]
+    pz = oz_ref[0]
+    t_lim = tlim_ref[0]
+    live = t_lim > 0.0
+
+    a = px * basis_ref[0] + py * basis_ref[1] + pz * basis_ref[2]
+    b = px * basis_ref[3] + py * basis_ref[4] + pz * basis_ref[5]
+    dep = px * basis_ref[6] + py * basis_ref[7] + pz * basis_ref[8]
+    big = jnp.float32(BIG)
+    pa0 = jnp.min(jnp.where(live, a, big))
+    pa1 = jnp.max(jnp.where(live, a, -big))
+    pb0 = jnp.min(jnp.where(live, b, big))
+    pb1 = jnp.max(jnp.where(live, b, -big))
+    pd0 = jnp.min(jnp.where(live, dep, big))
+
+    bigv = jnp.full(px.shape, BIG, jnp.float32)
+    topq0 = jnp.where(live, bigv, 0.0)
+    dep_live = jnp.where(live, dep, -big)
+
+    def bound_of(t_opq):
+        lane_t = jnp.minimum(t_lim, t_opq)
+        return jnp.max(dep_live + jnp.where(live, lane_t, 0.0))
+
+    def do_cluster(base_i, t_opq):
+        if stream:
+            cl8 = (cluster or CLUSTER) // 8
+            copy = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(base_i, cl8), :], buf_ref, sem)
+            copy.start()
+            copy.wait()
+
+        def group(g, t_opq):
+            if stream:
+                rows = buf_ref[pl.ds(g, 1), :]
+            else:
+                rows = rows_ref[pl.ds(base_i + g, 1), :]
+            for j in range(8):
+                def s(i):
+                    return rows[0, j * 16 + i]
+
+                tri_id = s(12)  # noqa: B023 — j is static (unrolled)
+                opaque = (tri_id >= 0) & (tri_id == jnp.floor(tri_id))
+                u = px * s(0) + py * s(1) + pz * s(2) - s(9)
+                v = px * s(3) + py * s(4) + pz * s(5) - s(10)
+                t = px * s(6) + py * s(7) + pz * s(8) - s(11)
+                hit = opaque & (u >= 0) & (u <= 1) & (v >= 0) & \
+                    (u + v <= 1) & (t > 1e-4) & (t < t_lim)
+                t_opq = jnp.where(hit, jnp.minimum(t_opq, t), t_opq)
+            return t_opq
+
+        return jax.lax.fori_loop(0, (cluster or CLUSTER) // 8, group, t_opq)
+
+    def cond(c):
+        return (c[0] < n_clusters) & (c[1] < 0.5)
+
+    def body(c):
+        j, _, bound, t_opq = c
+        ca0 = meta_ref[j * 8 + 0]
+        cb0 = meta_ref[j * 8 + 1]
+        ca1 = meta_ref[j * 8 + 2]
+        cb1 = meta_ref[j * 8 + 3]
+        cd0 = meta_ref[j * 8 + 4]
+        cd1 = meta_ref[j * 8 + 5]
+        base_i = meta_ref[j * 8 + 6].astype(jnp.int32)
+        stop = jnp.where(cd0 >= bound, 1.0, 0.0)
+        overlap = (ca0 <= pa1) & (ca1 >= pa0) & (cb0 <= pb1) & \
+            (cb1 >= pb0) & (cd1 > pd0)
+        process = overlap & (stop < 0.5)
+        t_opq = jax.lax.cond(process, lambda t: do_cluster(base_i, t),
+                             lambda t: t, t_opq)
+        bound = jax.lax.cond(process, bound_of, lambda t: bound, t_opq)
+        return j + 1, stop, bound, t_opq
+
+    init = (jnp.int32(0), jnp.float32(0.0), bound_of(topq0), topq0)
+    out = jax.lax.while_loop(cond, body, init)
+    topq_out[0] = out[3]
+
+
+def trace_shadow_occl(sc: ShadowClusters, o, t_limit,
+                      interpret: bool = False, cluster: int = 0,
+                      stream=None):
+    """Occlusion sweep -> (N,) nearest opaque t (BIG when unblocked)."""
+    n_clusters = sc.meta.shape[0] // 8
+    if stream is None:
+        stream = sc.rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
+    n = o.shape[0]
+    sblock, ssub = SBLOCK, _SSUB
+    pad = (-n) % sblock
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
+        t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
+    nb = o.shape[0] // sblock
+
+    def comp(x):
+        return x.reshape(nb, ssub, 128)
+
+    rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+            comp(jnp.asarray(t_limit, jnp.float32))]
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rows_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream \
+        else pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, ssub, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = []
+    if stream:
+        scratch = [pltpu.VMEM(((cluster or CLUSTER) // 8, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    topq = pl.pallas_call(
+        partial(_kernel_occl, n_clusters=n_clusters, cluster=cluster,
+                stream=stream),
+        grid=(nb,),
+        in_specs=[smem_spec, smem_spec, rows_spec] + [ray_spec] * 4,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, ssub, 128), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(sc.meta, sc.basis.reshape(-1), sc.rows, *rays)
+    return topq.reshape(-1)[:n]
+
+
+def trace_shadow_split(split: ShadowSplit, o, t_limit, n_slots: int = 4,
+                       interpret: bool = False, alpha_payload: bool = False):
+    """Composed split records — same contract as trace_shadow_clusters."""
+    t_opq = trace_shadow_occl(split.full, o, t_limit, interpret=interpret)
+    n = o.shape[0]
+    if split.trans is None:
+        ts = jnp.full((n, n_slots), BIG, jnp.float32)
+        ids = jnp.full((n, n_slots), -1.0, jnp.float32)
+        return t_opq, ts, ids
+    # recover the trans build's cluster size from shapes (8 tris per row)
+    tr_cl = split.trans.rows.shape[0] * 8 // (split.trans.meta.shape[0] // 8)
+    _, ts, ids = trace_shadow_clusters(
+        split.trans, o, t_limit, n_slots=n_slots, interpret=interpret,
+        cluster=tr_cl, alpha_payload=alpha_payload)
+    return t_opq, ts, ids

@@ -55,15 +55,10 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
     """
     from ..render import rt as RT
     from ..render.scene_geometry import flatten_frame
-    from ..render.camera import generate_rays, tile_permutation
+    from ..render.camera import generate_rays_tiled, untile_image
 
     axis = mesh.axis_names[0]
     rep = NamedSharding(mesh, P())
-    # Tile-coherent packet order (static): each device's contiguous shard is
-    # a run of square pixel tiles, so its Pallas packets stay coherent.
-    perm_np, inv_np = tile_permutation(width, height)
-    perm = jnp.asarray(perm_np)
-    inv_perm = jnp.asarray(inv_np)
     n_dev = mesh.devices.size
 
     def per_shard(fg, cam_pos, o, d):
@@ -81,9 +76,10 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
     @partial(jax.jit, out_shardings=rep)
     def render(transforms, palettes, ivp, cam_pos):
         fg = flatten_frame(geo, transforms, palettes)
-        o, d = generate_rays(ivp, cam_pos, width, height)
-        o = o[perm]
-        d = d[perm]
+        # Padded tile-major lane order (round 4): each device's contiguous
+        # shard is a run of whole pixel tiles — packets stay coherent, and
+        # no permutation gathers exist (see rt.render_frame).
+        o, d, _, _ = generate_rays_tiled(ivp, cam_pos, width, height)
         n = o.shape[0]
         pad = (-n) % n_dev
         if pad:
@@ -92,7 +88,6 @@ def sharded_render(mesh: Mesh, geo, ibl, lights, width: int, height: int,
             o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
             d = jnp.concatenate([d, jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (pad, 1))])
         img = shard_fn(fg, cam_pos, o, d)
-        img = img[:n][inv_perm]
-        return img.reshape(height, width, 3)
+        return untile_image(img[:n], width, height)
 
     return render

@@ -126,6 +126,56 @@ def tile_permutation(width: int, height: int, tile: int | None = None):
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
+def generate_rays_tiled(inv_view_proj, camera_position, width: int,
+                        height: int, tile_h: int = 32, tile_w: int = 128):
+    """Primary rays in PADDED TILE-MAJOR lane order (round 4).
+
+    Lane l covers pixel (px, py) of the (tile_h x tile_w) screen tile
+    l // (tile_h*tile_w); pixels beyond the image (tile padding) get real
+    rays through their (out-of-image) pixel centers and are cropped by the
+    caller's final reshape. This is the layout the cluster rasterizer and
+    the traversal packets natively produce/consume, so NO permutation
+    gathers exist anywhere in the frame (a single (H*W,) permutation
+    gather measures ~3.9 ms on one v5e — the scanline<->tile reshuffles
+    were ~70 ms/frame in raster-visibility modes).
+
+    Returns (o (P,3), d (P,3), px (P,) int32, py (P,) int32) with
+    P = ceil(W/tile_w) * ceil(H/tile_h) * tile_h * tile_w.
+    """
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    n_tiles = tiles_x * tiles_y
+    lane = jnp.arange(n_tiles * tile_h * tile_w, dtype=jnp.int32)
+    per_tile = tile_h * tile_w
+    tile = lane // per_tile
+    within = lane % per_tile
+    px = (tile % tiles_x) * tile_w + within % tile_w
+    py = (tile // tiles_x) * tile_h + within // tile_w
+    ndc_x = (px.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ndc_y = (1.0 - (py.astype(jnp.float32) + 0.5) / height) * 2.0 - 1.0
+    clip = jnp.stack([ndc_x, ndc_y, jnp.ones_like(ndc_x),
+                      jnp.ones_like(ndc_x)], axis=-1)
+    world = clip @ jnp.asarray(inv_view_proj, jnp.float32).T
+    p = world[..., :3] / world[..., 3:4]
+    cam = jnp.asarray(camera_position, jnp.float32)
+    d = m3.normalize(p - cam)
+    o = jnp.broadcast_to(cam, d.shape)
+    return o, d, px, py
+
+
+def untile_image(flat, width: int, height: int, tile_h: int = 32,
+                 tile_w: int = 128):
+    """(P, C) tile-major lanes -> (H, W, C) image (reshape + transpose +
+    crop — no gathers). Inverse of the generate_rays_tiled lane order."""
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    c = flat.shape[-1]
+    img = flat.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile_h,
+                                               tiles_x * tile_w, c)
+    return img[:height, :width]
+
+
 def generate_rays(inv_view_proj, camera_position, width: int, height: int):
     """Primary rays: per-pixel NDC through invViewProj
     (reference: RayTracing.metalinc:225-229).

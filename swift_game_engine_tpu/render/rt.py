@@ -120,6 +120,20 @@ _SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "1") == "1"
 # light-space overlap lists; the kernel then never scalar-scans
 # non-overlapping clusters). See ops.cluster_shadow._packet_cluster_lists.
 _SHADOW_LISTS = os.environ.get("SGE_SHADOW_LISTS", "0") == "1"
+# Split shadow kernels (round 4, ops.cluster_shadow.ShadowSplit): a cheap
+# occlusion-only sweep over all triangles (nearest opaque t, no insertion
+# network) + the slotted kernel over ONLY the compacted translucent subset.
+# Identical records to the single slotted sweep (measured on one v5e
+# @960x540 demo frame: shadow records pass 64.4 -> ~24 ms).
+_SHADOW_SPLIT = os.environ.get("SGE_SHADOW_SPLIT", "1") == "1"
+# Axon-backend workaround (round 4): the cluster-shadow kernels inside the
+# fused frame program CRASH the TPU worker at small resolutions (observed:
+# 320x180 with max_layers=3 — 3+ cluster-sweep dispatch sites; the same
+# program is fine at >= 640x360, and the BVH-walk shadow kernel is fine at
+# every size). Below this lane count the frame uses the walk kernel; the
+# records and image are bit-identical either way.
+_SHADOW_CLUSTER_MIN_LANES = int(
+    os.environ.get("SGE_SHADOW_CLUSTER_MIN_LANES", "100000"))
 # Honor Material.unlit in the RT path: unlit hits shade as albedo+emissive
 # (the reference raster fragment shader's unlit branch,
 # ShadersRaster.metalinc:73-75) and cast NO shadow rays. The reference's
@@ -201,7 +215,7 @@ _COMPACT_ORDER = os.environ.get("SGE_RT_COMPACT_ORDER", "sort")
 # or the layered shared-origin walk), layers' found records shade in ONE
 # compacted chunk loop (colors + alphas scattered per record) and the
 # alpha accumulation chain runs elementwise afterwards.
-#   0 = off (sequential layer loop)
+#   0 = off (sequential chunk-compacted layer loop)
 #   1 = batch EVERY layer — measured LOSS (424.6 vs 357.7 ms @960x540):
 #       fragmenting the dense L1 shade into chunk programs costs more than
 #       the merged loop saves
@@ -209,7 +223,12 @@ _COMPACT_ORDER = os.environ.get("SGE_RT_COMPACT_ORDER", "sort")
 #       dense monolithic shade; the per-layer chunk loops (each with its
 #       own shadow dispatch + nested bounce chunking) merge into one.
 #       Measured (with sort-compaction + lane compaction) 336.6 -> 311.1
-#       ms @960x540 — default.
+#       ms @960x540 — the round-3 default.
+#   3 = DENSE continuation layers (round 4): each layer L2.. shades the
+#       full lane batch gated by its found & chain-open mask — no
+#       compaction machinery at all. Measured 239.6 vs 211.6 ms @960x540
+#       (the two extra dense shadow sweeps outweigh the chunk machinery)
+#       — kept as an option; 2 stays the default.
 _LBATCH = int(os.environ.get("SGE_RT_LBATCH", "2"))
 # Simple-unlit record split for batched layer shading: records whose
 # material is unlit with NO bound textures, no transmission and no mirror
@@ -613,13 +632,35 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
     if shadow_clusters is not None:
         # Cluster shadow kernel (ops.cluster_shadow): depth-sorted dense
         # light-space clusters instead of a BVH walk; identical records.
-        from ..ops.cluster_shadow import trace_shadow_clusters
+        from ..ops.cluster_shadow import (trace_shadow_clusters,
+                                          trace_shadow_split, ShadowSplit)
         o_sh = jnp.where(active[..., None], o0, jnp.float32(1.0e9))
-        t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
+        # Exact per-lane t limit: no triangle exists outside the scene's
+        # root AABB, so the shadow ray needs no consideration beyond its
+        # AABB exit distance. This tightens the cluster sweep's early-exit
+        # bound enormously (most origins exit the AABB after a few units
+        # along the sun direction) without changing any record the layer
+        # semantics can see.
+        bmin = fg.bvh.bmin[0]
+        bmax = fg.bvh.bmax[0]
+        safe_l = jnp.where(jnp.abs(l) < 1e-12, 1e-12, l)
+        tx0 = (bmin[None, :] - o0) / safe_l[None, :]
+        tx1 = (bmax[None, :] - o0) / safe_l[None, :]
+        t_exit = jnp.min(jnp.maximum(tx0, tx1), axis=-1) + 1e-2
+        t_lim = jnp.where(active,
+                          jnp.minimum(jnp.minimum(max_dist, BIG),
+                                      jnp.maximum(t_exit, 0.0)),
                           jnp.float32(0.0))
         # alpha_payload must mirror the build condition in _render_rays
         # (both derive it from the static usage tuple).
         ap = _SHADOW_ALPHA and not (usage.base and usage.alpha_tex)
+        if isinstance(shadow_clusters, ShadowSplit):
+            t_opq, ts, ids = trace_shadow_split(
+                shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
+                interpret=jax.default_backend() != "tpu", alpha_payload=ap)
+            return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
+                                         active, max_dist, shadow_layers,
+                                         usage, alpha_payload=ap)
         if _SHADOW_SORT:
             order = _light_morton_order(shadow_clusters.basis, o_sh, t_lim)
             t_opq_s, ts_s, ids_s = trace_shadow_clusters(
@@ -820,24 +861,23 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 
 
 # Primary visibility source for the RT path:
-#   "auto"   — "trace" while the BVH fits the SMEM/VMEM kernels (the
-#              measured winner at demo scale: peels lose in-frame,
-#              405 vs 327 ms @960x540), else "peels": cluster
-#              rasterization has no tree-size cliff (rows stream from HBM,
-#              see tile_raster ``stream``), so un-decimated scenes get
-#              rasterized visibility + streamed cluster shadows and only
-#              bounce rays pay the HBM-streaming BVH walk.
+#   "auto"   — "hybrid" on TPU (round-4 measured winner; no tree-size
+#              cliff either: cluster rows stream from HBM), "trace" when
+#              the Pallas kernels are unavailable (pure-JAX fallback).
 #   "trace"  — BVH packet kernel (the reference's intersector semantics)
 #   "raster" — binned tile rasterizer (render.tile_raster) for LAYER 1 only;
 #              transparency layers 2+ still trace chunk-compacted
 #              continuation rays (their cost scales with covered pixels)
 #   "peels"  — depth-peeled rasterizer supplies EVERY layer's hit records
 #              (no visibility traces at all; dense per-layer cost)
+#   "hybrid" — round 4: opaque-only cluster raster (1 layer, strong
+#              occlusion early-exit, no insertion network) + depth-peeled
+#              raster of ONLY the translucent subset (a tiny static
+#              partition), composed elementwise into the same per-layer
+#              records the layered walk yields (incl. the 2*bias
+#              continuation skip — closer to the traced semantics than
+#              "peels"). Visibility cost collapses to the opaque raster.
 _RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "auto")
-# Binning mode for rasterized visibility (see render.raster): "clusters"
-# (front-to-back cluster walk + occlusion early-exit) or "lists" (legacy
-# per-tile candidate lists).
-_RASTER_MODE = os.environ.get("SGE_RASTER_MODE", "clusters")
 
 
 def _opaque_tris(geo: SceneGeometry):
@@ -852,30 +892,83 @@ def _opaque_tris(geo: SceneGeometry):
     return opaque
 
 
+def _opaque_tris_np(geo: SceneGeometry):
+    """Numpy twin of _opaque_tris: geo's leaves are concrete closure
+    constants even inside a jit trace, so the STATIC opaque/translucent
+    partition must be computed with numpy ops (jnp ops would yield
+    tracers)."""
+    mid = np.maximum(np.asarray(geo.tri_material), 0)
+    opaque = np.asarray(geo.materials.alpha)[mid] >= 0.99
+    us = texture_usage(geo)
+    if us.base and us.alpha_tex:
+        opaque = opaque & (np.asarray(geo.materials.base_tex)[mid] < 0)
+    return opaque
+
+
 def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, inv_view_proj, cam_pos,
                  width: int, height: int, max_layers: int = 3,
                  shadow_layers: int = 4, enable_mirror: bool = True,
                  enable_refraction: bool = True, view_proj=None):
-    """Full RT frame -> (H, W, 3) linear color (rgba16f-equivalent range)."""
-    from .camera import generate_rays, tile_permutation
-    ray_o, ray_d = generate_rays(inv_view_proj, cam_pos, width, height)
-    # Tile-coherent packet order (see camera.tile_permutation); colors are
-    # un-permuted at the end.
-    perm, inv_perm = tile_permutation(width, height)
-    perm = jnp.asarray(perm)
+    """Full RT frame -> (H, W, 3) linear color (rgba16f-equivalent range).
+
+    Round 4: the whole frame lives in PADDED TILE-MAJOR lane order — rays
+    are generated directly in the (tile_h x 128) tile layout the cluster
+    rasterizer and the traversal packets natively use, raster outputs are
+    pure reshapes, and the final image is one reshape+transpose+crop. No
+    permutation gathers exist anywhere (each scanline<->tile (H*W,) gather
+    measured ~3.9 ms on one v5e; raster modes paid up to 20 of them)."""
+    from .camera import generate_rays_tiled, untile_image
+    from .tile_raster import TILE_W, _TILE_H_DEFAULT
+    th = _RASTER_TILE_H or _TILE_H_DEFAULT
+    ray_o, ray_d, pxl, pyl = generate_rays_tiled(inv_view_proj, cam_pos,
+                                                 width, height, tile_h=th,
+                                                 tile_w=TILE_W)
 
     primary = None
     peels = None
+    hybrid = None
     mode = _RT_PRIMARY
     if mode == "auto":
-        from ..ops.rt_kernel import so_available
-        mode = "trace" if (_FORCE_JAX_TRAVERSAL or
-                           so_available(fg.bvh.rows)) else "peels"
-    if mode in ("raster", "peels"):
+        mode = "trace" if _FORCE_JAX_TRAVERSAL else "hybrid"
+    if mode in ("raster", "peels", "hybrid"):
         if view_proj is None:
             view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
         interp = jax.default_backend() != "tpu"
+
+    def rec_of(h, idxmap=None):
+        """RasterHits (flat tile-major) -> record tuple; ``idxmap`` maps
+        subset-local triangle ids back to global ids."""
+        tri = h.tri if idxmap is None else \
+            jnp.where(h.tri >= 0, idxmap[jnp.maximum(h.tri, 0)], -1)
+        return (h.t, tri, h.u, h.v, h.found)
+
+    if mode == "hybrid":
+        from .tile_raster import rasterize_clusters
+        # Partition by the FACTOR-only translucency marker — the exact
+        # semantics the layered walk bakes into its records
+        # (scene_geometry tri_translucent; texture alpha is handled
+        # downstream by the shading chain, not by visibility layering).
+        tr_flag = np.asarray(geo.tri_translucent)
+        opq_idx = np.nonzero(~tr_flag)[0]
+        tr_idx = np.nonzero(tr_flag)[0]
+
+        oi = jnp.asarray(opq_idx, jnp.int32)
+        h_o = rasterize_clusters(
+            fg.bvh.v0[oi], fg.bvh.v1[oi], fg.bvh.v2[oi], view_proj, cam_pos,
+            width, height, layers=1, interpret=interp,
+            opaque=jnp.ones(len(opq_idx), bool), cluster=_RASTER_CLUSTER,
+            tile_h=th, lists=_RASTER_LISTS, flat_tiles=True)[0]
+        trans_recs = []
+        if len(tr_idx):
+            ti = jnp.asarray(tr_idx, jnp.int32)
+            h_ts = rasterize_clusters(
+                fg.bvh.v0[ti], fg.bvh.v1[ti], fg.bvh.v2[ti], view_proj,
+                cam_pos, width, height, layers=max_layers, interpret=interp,
+                cluster=min(_RASTER_CLUSTER or 128, 64),
+                tile_h=th, flat_tiles=True)
+            trans_recs = [rec_of(h, ti) for h in h_ts]
+        hybrid = (rec_of(h_o, oi), trans_recs)
     if mode == "peels":
         # Rasterized visibility for layer 1 AND the transparency layers:
         # layer L's hit record is the depth-peel strictly behind layer L-1
@@ -883,46 +976,34 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         # go through pixel centers, so "next hit along the ray" == "next
         # depth behind the previous fragment"). The BVH only serves shadow
         # / mirror / refraction rays in this mode.
-        if _RASTER_MODE == "clusters":
-            from .tile_raster import rasterize_clusters
-            raw_peels = rasterize_clusters(
-                fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
-                width, height, layers=max_layers, interpret=interp,
-                opaque=_opaque_tris(geo), cluster=_RASTER_CLUSTER,
-                tile_h=_RASTER_TILE_H, lists=_RASTER_LISTS)
-        else:
-            from .tile_raster import rasterize_peeled
-            raw_peels = rasterize_peeled(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
-                                         view_proj, cam_pos, width, height,
-                                         max_layers, interpret=interp)
-        peels = [(h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
-                  h.found[perm]) for h in raw_peels]
+        from .tile_raster import rasterize_clusters
+        raw_peels = rasterize_clusters(
+            fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj, cam_pos,
+            width, height, layers=max_layers, interpret=interp,
+            opaque=_opaque_tris(geo), cluster=_RASTER_CLUSTER,
+            tile_h=th, lists=_RASTER_LISTS, flat_tiles=True)
+        peels = [rec_of(h) for h in raw_peels]
     elif mode == "raster":
-        if _RASTER_MODE == "clusters":
-            from .tile_raster import rasterize_clusters
-            h = rasterize_clusters(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
-                                   view_proj, cam_pos, width, height,
-                                   layers=1, interpret=interp,
-                                   cluster=_RASTER_CLUSTER,
-                                   tile_h=_RASTER_TILE_H,
-                                   lists=_RASTER_LISTS)[0]
-        else:
-            from .tile_raster import rasterize
-            h = rasterize(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, view_proj,
-                          cam_pos, width, height, interpret=interp)
-        primary = (h.t[perm], h.tri[perm], h.u[perm], h.v[perm],
-                   h.found[perm])
+        from .tile_raster import rasterize_clusters
+        h = rasterize_clusters(fg.bvh.v0, fg.bvh.v1, fg.bvh.v2,
+                               view_proj, cam_pos, width, height,
+                               layers=1, interpret=interp,
+                               cluster=_RASTER_CLUSTER,
+                               tile_h=th, lists=_RASTER_LISTS,
+                               flat_tiles=True)[0]
+        primary = rec_of(h)
 
-    out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o[perm], ray_d[perm],
+    out = _render_rays(geo, fg, ibl, lights, cam_pos, ray_o, ray_d,
                        max_layers, shadow_layers, enable_mirror,
-                       enable_refraction, primary=primary, peels=peels)
-    out = out[jnp.asarray(inv_perm)]
-    gx, gy = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
-                          jnp.arange(height, dtype=jnp.float32))
-    noise = hash12(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+                       enable_refraction, primary=primary, peels=peels,
+                       hybrid=hybrid)
+    # Per-pixel hash dither in lane order (identical per-pixel values to
+    # the reference's screen-space hash), then one reshape to the image.
+    noise = hash12(jnp.stack([pxl.astype(jnp.float32),
+                              pyl.astype(jnp.float32)], axis=-1))
     dither = (noise - 0.5) * (1.0 / 255.0)
     out = jnp.maximum(out + dither[..., None], 0.0)
-    return out.reshape(height, width, 3)
+    return untile_image(out, width, height, tile_h=th, tile_w=TILE_W)
 
 
 def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
@@ -1004,7 +1085,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                  lights: DirectionalLights, cam_pos, ray_o, ray_d,
                  max_layers: int = 3, shadow_layers: int = 4,
                  enable_mirror: bool = True, enable_refraction: bool = True,
-                 primary=None, peels=None):
+                 primary=None, peels=None, hybrid=None):
     """Trace + shade a flat ray batch -> (P,3) colors (no dither/reshape).
 
     Layer 1 is a dense full-batch trace + shade (every pixel needs it);
@@ -1029,18 +1110,29 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     # precompute shared by every shade call in the frame.
     shadow_rows = None
     shadow_clusters = None
-    if _SHADOW_CLUSTERS and not _FORCE_JAX_TRAVERSAL and \
+    use_shadow_clusters = _SHADOW_CLUSTERS and \
+        ray_o.shape[0] >= _SHADOW_CLUSTER_MIN_LANES
+    if use_shadow_clusters and not _FORCE_JAX_TRAVERSAL and \
             1 <= shadow_layers <= 4:
-        from ..ops.cluster_shadow import build_shadow_clusters
+        from ..ops.cluster_shadow import (build_shadow_clusters,
+                                          build_shadow_split)
         l0 = normalize(-lights.direction[0])
         # Always bake the alpha payload (slot 13 was spare); whether the
         # kernel READS it is decided per shade call from the static usage
         # (see _shadow_factor).
         mid_t = jnp.maximum(geo.tri_material, 0)
         alpha_tri = jnp.clip(geo.materials.alpha[mid_t], 0.0, 1.0)
-        shadow_clusters = build_shadow_clusters(
-            fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent,
-            alpha=alpha_tri)
+        if _SHADOW_SPLIT:
+            # geo is concrete at trace time: the translucent subset indices
+            # are a STATIC partition (material-driven).
+            tr_idx = np.nonzero(np.asarray(geo.tri_translucent))[0]
+            shadow_clusters = build_shadow_split(
+                fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent,
+                alpha=alpha_tri, trans_idx=tr_idx)
+        else:
+            shadow_clusters = build_shadow_clusters(
+                fg.bvh.v0, fg.bvh.v1, fg.bvh.v2, l0, geo.tri_translucent,
+                alpha=alpha_tri)
     elif _SHADOW_KERNEL and not _FORCE_JAX_TRAVERSAL and \
             1 <= shadow_layers <= 4:
         from ..ops.rt_kernel import (shadow_prepass_available,
@@ -1055,7 +1147,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
     # layer 1 AND layers 2+ with 3-dot-product leaf tests.
     so_rows = None
     if _SO_KERNEL and not _FORCE_JAX_TRAVERSAL and primary is None \
-            and peels is None:
+            and peels is None and hybrid is None:
         from ..ops.rt_kernel import so_available, build_origin_rows
         if so_available(fg.bvh.rows):
             so_rows = build_origin_rows(fg.bvh.rows, cam)
@@ -1164,6 +1256,82 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             contrib = jnp.where(live, alphas[li] * (1.0 - accum_alpha), 0.0)
             accum = accum + colors[li] * contrib[..., None]
             accum_alpha = accum_alpha + contrib
+        return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
+
+    # ---- hybrid visibility (round 4): per-layer records composed from the
+    # opaque raster + translucent peels (see render_frame "hybrid"), with
+    # the SAME floor-chain semantics as the layered walk (incl. the 2*bias
+    # continuation skip). Shading shares the layered flow: dense L1 +
+    # batched/chunked continuations.
+    if hybrid is not None:
+        (t_o, tri_o, u_o, v_o, f_o), trs = hybrid
+        t_opq = jnp.where(f_o, t_o, BIG)
+        recs = []
+        floor = jnp.zeros(p)
+        for _layer in range(max_layers):
+            tn = jnp.full(p, BIG)
+            idn = jnp.full(p, -1, jnp.int32)
+            un = jnp.zeros(p)
+            vn = jnp.zeros(p)
+            # nearest translucent record past the floor and in front of the
+            # opaque hit (peels are depth-sorted; scan far-to-near so the
+            # nearest eligible record wins).
+            for k in reversed(range(len(trs))):
+                tk, trik, uk, vk, fk = trs[k]
+                ok = fk & (tk > floor) & (tk < t_opq)
+                tn = jnp.where(ok, tk, tn)
+                idn = jnp.where(ok, trik, idn)
+                un = jnp.where(ok, uk, un)
+                vn = jnp.where(ok, vk, vn)
+            use_opq = f_o & (t_opq > floor) & (tn >= BIG)
+            t_l = jnp.where(use_opq, t_opq, tn)
+            tri_l = jnp.where(use_opq, tri_o, idn)
+            u_l = jnp.where(use_opq, u_o, un)
+            v_l = jnp.where(use_opq, v_o, vn)
+            found_l = use_opq | (tn < BIG)
+            t_l = jnp.where(found_l, t_l, BIG)
+            tri_l = jnp.where(found_l, tri_l, -1)
+            floor = jnp.where(found_l, t_l + 2.0 * shadow_bias(t_l), floor)
+            recs.append((t_l, tri_l, u_l, v_l, found_l))
+
+        if _LBATCH == 1:
+            return shade_layers_batched(recs)
+        t_1, tri_1, u_1, v_1, f_1 = recs[0]
+        color, contrib, _ = shade_layer(ray_o, d, t_1, tri_1, u_1, v_1, f_1,
+                                        jnp.zeros(p))
+        accum = color * contrib[..., None]
+        accum_alpha = contrib
+        if max_layers > 1 and _LBATCH == 2:
+            return shade_layers_batched(recs[1:], accum, accum_alpha, f_1)
+        if max_layers > 1 and _LBATCH == 3:
+            # Dense continuation shading (see the _LBATCH=3 note): the
+            # chain gate IS the shade mask; records behind a saturated
+            # chain shade as dead lanes.
+            live = f_1
+            for layer in range(1, max_layers):
+                t_l, tri_l, u_l, v_l, f_l = recs[layer]
+                live = live & f_l & (accum_alpha < 0.99)
+                color, contrib, _ = shade_layer(ray_o, d, t_l, tri_l, u_l,
+                                                v_l, live, accum_alpha)
+                accum = accum + color * contrib[..., None]
+                accum_alpha = accum_alpha + contrib
+            return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
+        for layer in range(1, max_layers):
+            t_l, tri_l, u_l, v_l, f_l = recs[layer]
+
+            def chunk(idx, valid, carry, _t=t_l, _tri=tri_l, _u=u_l, _v=v_l):
+                accum, accum_alpha = carry
+                safe = jnp.minimum(idx, p - 1)
+                color, contrib, _ = shade_layer(
+                    ray_o[safe], d[safe], _t[safe], _tri[safe], _u[safe],
+                    _v[safe], valid, accum_alpha[safe])
+                accum = accum.at[idx].add(color * contrib[..., None])
+                accum_alpha = accum_alpha.at[idx].add(contrib)
+                return accum, accum_alpha
+
+            accum, accum_alpha = _chunked(
+                f_l & (accum_alpha < 0.99), chunk, (accum, accum_alpha),
+                cap=_CHUNK)
         return accum + BG_COLOR * (1.0 - accum_alpha)[..., None]
 
     # ---- layered shared-origin path: ONE walk yields every layer's hit

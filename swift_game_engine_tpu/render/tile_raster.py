@@ -833,7 +833,8 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        height: int, layers: int = 1,
                        interpret: bool = False, opaque=None,
                        cluster: int = 0, tile_h: int = 0,
-                       lists: bool = False, stream=None):
+                       lists: bool = False, stream=None,
+                       flat_tiles: bool = False):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
@@ -841,7 +842,11 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     the early-exit bound (see _setup_clusters).
     ``stream``: keep the row table in HBM and DMA processed clusters into
     a VMEM window (None = auto by table size) — removes the VMEM triangle
-    cliff for un-decimated scenes."""
+    cliff for un-decimated scenes.
+    ``flat_tiles``: return arrays in PADDED TILE-MAJOR lane order (the
+    kernel's native output order, matching camera.generate_rays_tiled) —
+    a pure reshape, no untile transpose and no crop. Out-of-image tile
+    padding lanes carry whatever fragments project there."""
     th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // th)
@@ -895,11 +900,15 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
         interpret=interpret,
     )(*operands)
 
-    def untile(a, l):
-        img = a[:, l].reshape(tiles_y, tiles_x, th, TILE_W)
-        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * th,
-                                                tiles_x * TILE_W)
-        return img[:height, :width].reshape(-1)
+    if flat_tiles:
+        def untile(a, l):
+            return a[:, l].reshape(-1)
+    else:
+        def untile(a, l):
+            img = a[:, l].reshape(tiles_y, tiles_x, th, TILE_W)
+            img = img.transpose(0, 2, 1, 3).reshape(tiles_y * th,
+                                                    tiles_x * TILE_W)
+            return img[:height, :width].reshape(-1)
 
     cam = jnp.asarray(cam_pos, jnp.float32)
     overflow = jnp.int32(0)

@@ -159,6 +159,48 @@ for to_k, ts_k, ids_k in ((t_opq, ts, ids), (t_opq64, ts64, ids64)):
                 print("MISMATCH", i, to_ref, to_k[i], ts_ref, ts_k[i])
 print(f"checked={checked} bad={bad}")
 assert bad == 0
+
+# ---- split kernels (round 4): occlusion sweep over all triangles +
+# slotted sweep over the compacted translucent subset must reproduce the
+# single slotted sweep's records exactly (the caller's filter ignores
+# translucent records behind t_opq, so compare through that filter).
+from swift_game_engine_tpu.ops.cluster_shadow import (build_shadow_split,
+                                                      trace_shadow_split)
+tr_idx = np.nonzero(translucent)[0]
+split = build_shadow_split(jnp.asarray(v0), jnp.asarray(v1),
+                           jnp.asarray(v2), jnp.asarray(l),
+                           jnp.asarray(translucent),
+                           alpha=jnp.asarray(tri_alpha), trans_idx=tr_idx)
+t_sp, ts_sp, ids_sp = trace_shadow_split(split, jnp.asarray(o),
+                                         jnp.asarray(t_lim), n_slots=4,
+                                         interpret=True)
+t_sp = np.asarray(t_sp); ts_sp = np.asarray(ts_sp); ids_sp = np.asarray(ids_sp)
+# dead lanes: occlusion sweep parks them at 0 like the slotted sweep
+assert np.array_equal(t_sp[t_lim <= 0], t_opq[t_lim <= 0])
+live = t_lim > 0
+assert np.allclose(t_sp[live], t_opq[live], rtol=1e-6, atol=1e-6)
+# translucent slots: identical records (the split's slotted sweep sees
+# exactly the translucent triangles, and slot pruning only drops records
+# beyond min(t_lim, slots) — never ones the filter keeps).
+for i in range(N):
+    lim = min(t_sp[i], t_lim[i])
+    keep = (ids[i] >= 0) & (ts[i] < lim)
+    keep_sp = (ids_sp[i] >= 0) & (ts_sp[i] < lim)
+    assert np.array_equal(ts[i][keep], ts_sp[i][keep_sp]), i
+    assert np.array_equal(ids[i][keep], ids_sp[i][keep_sp]), i
+
+# alpha-payload split
+t_spa, ts_spa, pay_spa = trace_shadow_split(split, jnp.asarray(o),
+                                            jnp.asarray(t_lim), n_slots=4,
+                                            interpret=True,
+                                            alpha_payload=True)
+t_spa = np.asarray(t_spa); ts_spa = np.asarray(ts_spa)
+pay_spa = np.asarray(pay_spa)
+assert np.array_equal(t_spa, t_sp)
+assert np.array_equal(ts_spa, ts_sp)
+sel = ids_sp >= 0
+assert np.allclose(tri_alpha[np.floor(ids_sp[sel]).astype(int)],
+                   pay_spa[sel] - 2.0, atol=1e-6)
 print("OK")
 """
 

@@ -71,6 +71,25 @@ def test_raster_primary_matches_traced(tmp_path):
     assert abs(ia.mean() - ib.mean()) < 0.01 * max(ia.mean(), 1e-3)
 
 
+def test_hybrid_matches_traced(tmp_path):
+    """Round-4 hybrid visibility (opaque cluster raster + translucent
+    peels composed through the layered floor chain) vs fully traced: the
+    record semantics are the traced path's (incl. the 2*bias skip), so
+    images agree except at sub-pixel raster/trace edge disagreements."""
+    import numpy as np
+    a = str(tmp_path / "trace2.npy")
+    b = str(tmp_path / "hybrid.npy")
+    _render("trace", a)
+    _render("hybrid", b)
+    ia = np.load(a)
+    ib = np.load(b)
+    assert ia.shape == ib.shape
+    diff = np.abs(ia - ib).max(axis=-1)
+    frac_same = float((diff < 1e-4).mean())
+    assert frac_same > 0.97, frac_same
+    assert abs(ia.mean() - ib.mean()) < 0.01 * max(ia.mean(), 1e-3)
+
+
 def test_peels_batched_layers_match_sequential(tmp_path):
     """SGE_RT_LBATCH concatenates every peel layer into one shade call;
     the per-lane math (alpha chain, shadows, bounces) is unchanged, so the

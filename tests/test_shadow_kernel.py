@@ -97,6 +97,9 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["SGE_RT_BLOCK"] = "1024"
 os.environ["SGE_SHADOW_KERNEL"] = os.environ["TEST_SHADOW_KERNEL"]
+# default-on cluster shadows would otherwise shadow both variants with the
+# same kernel, making the comparison vacuous
+os.environ["SGE_SHADOW_CLUSTERS"] = os.environ.get("TEST_SHADOW_CLUSTERS", "0")
 import numpy as np
 import jax.numpy as jnp
 from swift_game_engine_tpu.scene.demo_scene import DemoScene
@@ -144,6 +147,24 @@ def test_shadow_kernel_frame_matches_loop(tmp_path):
     b = str(tmp_path / "kernel.npy")
     _run(FRAME_CODE, {"TEST_SHADOW_KERNEL": "0", "TEST_OUT": a})
     _run(FRAME_CODE, {"TEST_SHADOW_KERNEL": "1", "TEST_OUT": b})
+    ia = np.load(a)
+    ib = np.load(b)
+    diff = np.abs(ia - ib).max(axis=-1)
+    frac_same = float((diff < 1e-4).mean())
+    assert frac_same > 0.99, frac_same
+    assert abs(ia.mean() - ib.mean()) < 0.005 * max(ia.mean(), 1e-3)
+
+
+def test_shadow_clusters_frame_matches_loop(tmp_path):
+    """Split cluster shadows (round-4 default: occlusion sweep + compact
+    translucent sweep + scene-AABB t limit) vs the per-layer shadow loop:
+    the records feed identical layer semantics, so the frames must agree."""
+    import numpy as np
+    a = str(tmp_path / "loop2.npy")
+    b = str(tmp_path / "clusters.npy")
+    _run(FRAME_CODE, {"TEST_SHADOW_KERNEL": "0", "TEST_OUT": a})
+    _run(FRAME_CODE, {"TEST_SHADOW_KERNEL": "0",
+                      "TEST_SHADOW_CLUSTERS": "1", "TEST_OUT": b})
     ia = np.load(a)
     ib = np.load(b)
     diff = np.abs(ia - ib).max(axis=-1)
