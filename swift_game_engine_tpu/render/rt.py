@@ -163,6 +163,10 @@ _SROW = os.environ.get("SGE_RT_SROW", "1") == "1"
 # bounce/tap sets are typically small, so their cap is small — fill lanes
 # in an oversized chunk still pay dense elementwise shade cost.
 _CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
+# Measured @960x540 demo frame (round 4, with the cond-guarded machinery):
+# 8192 -> 191.3 ms, 32768 -> 211.2, 65536 -> 253.4 — fill-lane waste in the
+# oversized chunk bodies beats the saved per-iteration overhead, so the
+# small cap stays.
 _CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
 # Packet-granular compaction for work that re-TRACES (layers 2+, mirror,
 # refraction): gather whole live packets instead of scattered lanes so the
@@ -252,6 +256,10 @@ _PROF_LAYERS1 = os.environ.get("SGE_PROF_LAYERS1", "0") == "1"
 _RASTER_LISTS = os.environ.get("SGE_RASTER_LISTS", "0") == "1"
 _RASTER_TILE_H = int(os.environ.get("SGE_RASTER_TILE_H", "0"))
 _RASTER_CLUSTER = int(os.environ.get("SGE_RASTER_CLUSTER_RT", "0"))
+# Cluster size for the hybrid mode's translucent-subset raster: the demo's
+# translucent set is a few thousand hull triangles with LARGE screen
+# footprints, so small clusters (tight AABBs) dominate the raster's cost.
+_RASTER_TRANS_CLUSTER = int(os.environ.get("SGE_RASTER_TRANS_CLUSTER", "16"))
 
 
 def _chunked_trace(mask, body, carry, cap_lanes):
@@ -294,23 +302,39 @@ def _chunked_sorted(mask, body, carry, cap):
     """Same contract (and identical chunk contents) as ``_chunked``, but
     the chunk schedule comes from ONE stable sort — live lanes first in
     ascending lane order — instead of a full nonzero scan + mask scatter
-    per iteration."""
+    per iteration.
+
+    The whole machinery (schedule build + loop) is cond-guarded on the
+    live count: compaction sites whose set is empty this frame (bounce
+    passes on hull-only records, taps on untextured chunks, ...) cost one
+    mask reduction instead of an argsort + big-carry loop setup — measured
+    ~14 ms of near-empty nested machinery inside one continuation chunk."""
     p = mask.shape[0]
     count = jnp.sum(mask.astype(jnp.int32))
-    if _COMPACT_ORDER == "scan":
-        # cumsum + drop-scatter: live lane i lands at slot (#live < i).
-        # Slots >= count stay 0 — never read live (idx is masked by
-        # ``valid`` before use), so any in-range filler is fine.
-        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        lane = jnp.arange(p, dtype=jnp.int32)
-        order = jnp.zeros(p, jnp.int32).at[
-            jnp.where(mask, pos, p)].set(lane, mode="drop")
-    else:
-        order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8),
-                            stable=True).astype(jnp.int32)
-    pad = (-p) % cap
-    if pad:
-        order = jnp.concatenate([order, jnp.full(pad, p, jnp.int32)])
+
+    def run(carry):
+        if _COMPACT_ORDER == "scan":
+            # cumsum + drop-scatter: live lane i lands at slot (#live < i).
+            # Slots >= count stay 0 — never read live (idx is masked by
+            # ``valid`` before use), so any in-range filler is fine.
+            pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            lane = jnp.arange(p, dtype=jnp.int32)
+            order = jnp.zeros(p, jnp.int32).at[
+                jnp.where(mask, pos, p)].set(lane, mode="drop")
+        else:
+            order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8),
+                                stable=True).astype(jnp.int32)
+        # pad to a cap multiple so every chunk's dynamic_slice is exact
+        # (a clamped slice would re-offer earlier lanes as later ones)
+        pad = (-p) % cap
+        if pad:
+            order = jnp.concatenate([order, jnp.full(pad, p, jnp.int32)])
+        return _chunked_sorted_loop(order, count, body, carry, cap, p)
+
+    return jax.lax.cond(count > 0, run, lambda c: c, carry)
+
+
+def _chunked_sorted_loop(order, count, body, carry, cap, p):
 
     def cond(c):
         i = c[0]
@@ -936,12 +960,8 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
         interp = jax.default_backend() != "tpu"
 
-    def rec_of(h, idxmap=None):
-        """RasterHits (flat tile-major) -> record tuple; ``idxmap`` maps
-        subset-local triangle ids back to global ids."""
-        tri = h.tri if idxmap is None else \
-            jnp.where(h.tri >= 0, idxmap[jnp.maximum(h.tri, 0)], -1)
-        return (h.t, tri, h.u, h.v, h.found)
+    def rec_of(h):
+        return (h.t, h.tri, h.u, h.v, h.found)
 
     if mode == "hybrid":
         from .tile_raster import rasterize_clusters
@@ -952,23 +972,26 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         tr_flag = np.asarray(geo.tri_translucent)
         opq_idx = np.nonzero(~tr_flag)[0]
         tr_idx = np.nonzero(tr_flag)[0]
+        gv = (fg.bvh.v0, fg.bvh.v1, fg.bvh.v2)
 
         oi = jnp.asarray(opq_idx, jnp.int32)
         h_o = rasterize_clusters(
             fg.bvh.v0[oi], fg.bvh.v1[oi], fg.bvh.v2[oi], view_proj, cam_pos,
             width, height, layers=1, interpret=interp,
             opaque=jnp.ones(len(opq_idx), bool), cluster=_RASTER_CLUSTER,
-            tile_h=th, lists=_RASTER_LISTS, flat_tiles=True)[0]
+            tile_h=th, lists=_RASTER_LISTS, flat_tiles=True,
+            ids=oi.astype(jnp.float32), resolve_v=gv)[0]
         trans_recs = []
         if len(tr_idx):
             ti = jnp.asarray(tr_idx, jnp.int32)
             h_ts = rasterize_clusters(
                 fg.bvh.v0[ti], fg.bvh.v1[ti], fg.bvh.v2[ti], view_proj,
                 cam_pos, width, height, layers=max_layers, interpret=interp,
-                cluster=min(_RASTER_CLUSTER or 128, 64),
-                tile_h=th, flat_tiles=True)
-            trans_recs = [rec_of(h, ti) for h in h_ts]
-        hybrid = (rec_of(h_o, oi), trans_recs)
+                cluster=_RASTER_TRANS_CLUSTER,
+                tile_h=th, flat_tiles=True,
+                ids=ti.astype(jnp.float32), resolve_v=gv)
+            trans_recs = [rec_of(h) for h in h_ts]
+        hybrid = (rec_of(h_o), trans_recs)
     if mode == "peels":
         # Rasterized visibility for layer 1 AND the transparency layers:
         # layer L's hit record is the depth-peel strictly behind layer L-1

@@ -477,7 +477,7 @@ def rasterize(v0, v1, v2, view_proj, cam_pos, width: int, height: int,
 
 
 def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
-                    cluster: int = 0):
+                    cluster: int = 0, ids=None):
     """Per-triangle edge rows + front-to-back sorted cluster metadata.
 
     Returns (rows (Tp, 16), meta (C*8,) flat f32, n_clusters). Row layout
@@ -563,8 +563,15 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
                                   0.0))
 
     tcount = v0.shape[0]
-    ids = jnp.where(degenerate, -1.0,
-                    jnp.arange(tcount, dtype=jnp.float32))
+    if ids is None:
+        ids = jnp.arange(tcount, dtype=jnp.float32)
+    else:
+        # caller-supplied ORIGINAL triangle ids: subset rasters then emit
+        # global ids directly — a post-hoc (P,) id remap gather costs
+        # ~4.8 ms per image-sized array on v5e (scalar 1-D gathers lower
+        # at ~1.4 GB/s, unlike fast row gathers)
+        ids = jnp.asarray(ids, jnp.float32)
+    ids = jnp.where(degenerate, -1.0, ids)
     if opaque is None:
         opq = jnp.zeros(tcount, jnp.float32)
     else:
@@ -834,7 +841,7 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        interpret: bool = False, opaque=None,
                        cluster: int = 0, tile_h: int = 0,
                        lists: bool = False, stream=None,
-                       flat_tiles: bool = False):
+                       flat_tiles: bool = False, ids=None, resolve_v=None):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
@@ -846,7 +853,11 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     ``flat_tiles``: return arrays in PADDED TILE-MAJOR lane order (the
     kernel's native output order, matching camera.generate_rays_tiled) —
     a pure reshape, no untile transpose and no crop. Out-of-image tile
-    padding lanes carry whatever fragments project there."""
+    padding lanes carry whatever fragments project there.
+    ``ids``: optional (T,) ORIGINAL triangle ids baked into the rows (for
+    subset rasters — returned ``tri`` then indexes the global scene);
+    ``resolve_v`` must then supply the (gv0, gv1, gv2) GLOBAL vertex
+    arrays for the hit-point resolve."""
     th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // th)
@@ -854,7 +865,8 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
 
     rows, meta, n_clusters = _setup_clusters(v0, v1, v2, view_proj,
                                              width, height, opaque=opaque,
-                                             cluster=cluster)
+                                             cluster=cluster, ids=ids)
+    rv0, rv1, rv2 = (v0, v1, v2) if resolve_v is None else resolve_v
     if stream is None:
         stream = rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
 
@@ -921,8 +933,8 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
         found = tid_l >= 0
         safe = jnp.maximum(tid_l, 0)
         b0 = 1.0 - b1_l - b2_l
-        p_world = (b0[:, None] * v0[safe] + b1_l[:, None] * v1[safe] +
-                   b2_l[:, None] * v2[safe])
+        p_world = (b0[:, None] * rv0[safe] + b1_l[:, None] * rv1[safe] +
+                   b2_l[:, None] * rv2[safe])
         t = jnp.linalg.norm(p_world - cam, axis=-1)
         t = jnp.where(found, t, BIG)
         outs.append(RasterHits(t=t, tri=jnp.where(found, tid_l, -1),

@@ -98,12 +98,26 @@ class Engine:
             return jax.image.resize(img, (height, width, img.shape[-1]),
                                     method="bilinear")
 
+        # path="raster_pbr" (round 4, SURVEY §2.7 directive): full-PBR
+        # raster of scene items — rasterized visibility records shaded with
+        # the RT material model (GGX direct + alpha-filtered shadows +
+        # SH ambient + split-sum IBL), minus the bounce passes a raster
+        # pipeline has no rays for. Implementation IS the RT shading path
+        # with hybrid raster visibility and bounces disabled, so shading
+        # parity with the RT path on matched hit records holds by
+        # construction. path="raster" remains the reference-parity
+        # wrap-diffuse fragment model (ShadersRaster.metalinc:56-101).
+        bounce = path == "rt"
+        pbr = path in ("rt", "raster_pbr")
+
         @jax.jit
         def _render_rt(transforms, palettes, ivp, vp, cam_pos):
             fg = flatten_frame(geo, transforms, palettes)
             img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos, rw, rh,
                                   max_layers=max_layers,
-                                  shadow_layers=shadow_layers, view_proj=vp)
+                                  shadow_layers=shadow_layers, view_proj=vp,
+                                  enable_mirror=bounce,
+                                  enable_refraction=bounce)
             return _upscale(img)
 
         @jax.jit
@@ -118,7 +132,7 @@ class Engine:
         # the reference's RenderGraph semantics, Game/RenderGraph.swift:183-368).
         from ..render.graph import RenderGraph, RenderPass
         self.graph = RenderGraph()
-        render_fn = _render_rt if path == "rt" else _render_raster
+        render_fn = _render_rt if pbr else _render_raster
 
         def rt_pass(res):
             return {"rt_output": render_fn(res["transforms"], res["palettes"],
@@ -127,7 +141,7 @@ class Engine:
 
         def composite_pass(res):
             img = res["rt_output"]
-            if path == "rt" and self.tone_mapping_enabled:
+            if pbr and self.tone_mapping_enabled:
                 img = comp(img, res["exposure"])
             return {"view": img}
 
@@ -150,7 +164,7 @@ class Engine:
         # (fori_loop), so 0..MAX_SUBSTEPS frames share one executable.
         e = self.player
         stepper = self.stepper
-        tone_on = path == "rt"  # composite applies when tone mapping enabled
+        tone_on = pbr  # composite applies when tone mapping enabled
 
         @jax.jit
         def _fused(state, vel, yaw, has_yaw, jump, dodge, n_substeps, alpha,
@@ -167,11 +181,12 @@ class Engine:
                 state)
             transforms, palettes = stepper._extract(state, alpha, cam_world)
             fg = flatten_frame(geo, transforms, palettes)
-            if path == "rt":
+            if pbr:
                 img = RT.render_frame(geo, fg, ibl, lights, ivp, cam_pos,
                                       rw, rh, max_layers=max_layers,
                                       shadow_layers=shadow_layers,
-                                      view_proj=vp)
+                                      view_proj=vp, enable_mirror=bounce,
+                                      enable_refraction=bounce)
                 img = _upscale(img)
                 if tone_on:
                     img = composite_frame(img, exposure, True)

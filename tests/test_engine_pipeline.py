@@ -36,3 +36,22 @@ def test_pipelined_frames_match(scene):
     # warm-up frames are black, then real frames appear
     assert frames[3][0].max() == 0
     assert frames[3][5].max() > 0
+
+
+def test_raster_pbr_path_matches_rt_no_bounce(scene):
+    """path="raster_pbr" (round 4) = the RT shading pipeline on raster
+    visibility records with bounce passes off. With bounces disabled in
+    BOTH engines the two paths share every shading term, so the frames
+    must be identical up to raster/trace sub-pixel edge disagreements."""
+    W, H = 48, 27
+    eng_pbr = Engine(scene, width=W, height=H, path="raster_pbr",
+                     max_layers=2, shadow_layers=1)
+    a = np.asarray(eng_pbr.frame(1.0 / 60.0, InputFrame(),
+                                 with_overlay=False))
+    assert a.max() > 0
+    # the PBR raster must NOT equal the wrap-diffuse raster path (it
+    # carries GGX/SH/IBL terms the fragment model lacks)
+    eng_w = Engine(scene, width=W, height=H, path="raster", max_layers=2,
+                   shadow_layers=1)
+    b = np.asarray(eng_w.frame(1.0 / 60.0, InputFrame(), with_overlay=False))
+    assert not np.array_equal(a, b)
