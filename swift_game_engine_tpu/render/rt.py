@@ -168,6 +168,10 @@ _CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
 # oversized chunk bodies beats the saved per-iteration overhead, so the
 # small cap stays.
 _CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
+# Bounce (mirror/refraction) chunk cap, separate from the tap cap: bounce
+# chunk bodies carry a full trace + shade + shadow sweep per iteration, so
+# their per-iteration fixed cost is far higher than a tap chunk's.
+_CHUNK_BOUNCE = int(os.environ.get("SGE_RT_CHUNK_BOUNCE", "8192"))
 # Packet-granular compaction for work that re-TRACES (layers 2+, mirror,
 # refraction): gather whole live packets instead of scattered lanes so the
 # retrace stays tile-coherent (see _chunked_packets). 0 = lane compaction.
@@ -1058,7 +1062,7 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         new_c = color[safe] * (1.0 - f) + refl * f
         return color.at[idx].set(new_c)
 
-    return _chunked_trace(mask, body, color, cap_lanes=_CHUNK_SMALL)
+    return _chunked_trace(mask, body, color, cap_lanes=_CHUNK_BOUNCE)
 
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
@@ -1101,7 +1105,7 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         new_c = old_c + (mix_color - old_c) * transmission[safe][..., None]
         return color.at[idx].set(new_c)
 
-    return _chunked_trace(has_t, body, color, cap_lanes=_CHUNK_SMALL)
+    return _chunked_trace(has_t, body, color, cap_lanes=_CHUNK_BOUNCE)
 
 
 def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,

@@ -77,6 +77,9 @@ class DemoScene:
     # exact hulls regardless.
     import_tri_budget: int = int(os.environ.get("SGE_IMPORT_TRI_BUDGET",
                                                 "20000")) or (1 << 30)
+    # Pad the entity table with dormant slots to a multiple of this count
+    # (entity-axis sharding needs divisible leading dims; 0/1 = no pad).
+    pad_entities_to: int = 1
 
     def build(self):
         """Assemble the scene. The build phase runs on the LOCAL CPU
@@ -251,6 +254,14 @@ class DemoScene:
                                       emissive_factor=(2.5, 2.0, 1.2)),
                            instance=step)
 
+        # Pad the entity table to a device-count multiple with dormant
+        # slots: entity-axis sharding (parallel.sharding.shard_world_state)
+        # device_puts concrete arrays, which requires divisibility. Dormant
+        # slots are skipped by every system (alive mask) and reusable by
+        # runtime spawn_entity.
+        if self.pad_entities_to > 1:
+            while wb.n % self.pad_entities_to:
+                wb.create_entity(alive=False)
         spec, state = wb.build()
         collision = cb.build()
         geometry = rb.build()

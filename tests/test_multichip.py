@@ -145,4 +145,78 @@ def test_dryrun_multichip_fresh_process():
                           capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, (
         f"dryrun_multichip failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
-    assert "dryrun_multichip(8): OK" in proc.stdout
+    assert "dryrun_multichip(8): fused substeps+extract+render OK" in proc.stdout
+
+
+def test_entity_sharded_substep_matches_replicated():
+    """Round 4 (SURVEY §5 entity axis): the physics substep on an
+    entity-sharded WorldState must produce the same state as the
+    replicated run — GSPMD partitioning cannot change the math."""
+    from swift_game_engine_tpu.scene.demo_scene import DemoScene
+    from swift_game_engine_tpu.parallel.sharding import (make_mesh,
+                                                         shard_world_state)
+    scene = DemoScene(include_imported_assets=False,
+                      pad_entities_to=8).build()
+    stepper = scene["stepper"]
+    mesh = make_mesh(jax.devices()[:8])
+
+    @jax.jit
+    def steps(st):
+        for _ in range(4):
+            st = stepper._substep_impl(st, jnp.float32(1.0 / 60.0))
+        return st
+
+    ref = steps(scene["state"])
+    sharded = steps(shard_world_state(mesh, scene["state"]))
+    for a, b, path in zip(jax.tree.leaves(ref), jax.tree.leaves(sharded),
+                          jax.tree.flatten(ref)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sharded_step_matches_unsharded():
+    """The fused substeps+extract+render program (the shipped frame
+    structure) sharded over the mesh == the unsharded computation."""
+    from swift_game_engine_tpu.scene.demo_scene import DemoScene
+    from swift_game_engine_tpu.parallel.sharding import (
+        make_mesh, shard_world_state, sharded_fused_step)
+    from swift_game_engine_tpu.render.scene_geometry import flatten_frame
+    from swift_game_engine_tpu.render import rt as RT
+
+    scene = DemoScene(include_imported_assets=False,
+                      pad_entities_to=8).build()
+    stepper = scene["stepper"]
+    ibl = IBL.build()
+    w, h = 64, 32
+    cam = Camera()
+    cam.position = np.array([0.0, 4.0, 14.0], np.float32)
+    cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+    ivp = jnp.asarray(cam.inv_view_proj(w, h))
+    cpos = jnp.asarray(cam.position)
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = sharded_fused_step(mesh, scene, ibl, w, h, n_substeps=2,
+                              max_layers=1, shadow_layers=1)
+    st2, img2 = step(shard_world_state(mesh, scene["state"]), ivp, cpos,
+                     jnp.zeros(3))
+
+    # unsharded reference of the same structure
+    st_ref = scene["state"]
+    for _ in range(2):
+        st_ref = stepper.substep(st_ref, 1.0 / 60.0)
+    transforms, palettes = stepper.extract(st_ref, 1.0,
+                                           np.zeros(3, np.float32))
+    geo = scene["geometry"]
+    fg = flatten_frame(geo, transforms, palettes)
+    img_ref = RT.render_frame(geo, fg, ibl, scene["lights"], ivp, cpos,
+                              w, h, max_layers=1, shadow_layers=1)
+    np.testing.assert_allclose(np.asarray(st2.body_pos),
+                               np.asarray(st_ref.body_pos),
+                               rtol=1e-5, atol=1e-5)
+    a = np.asarray(img2)
+    b = np.asarray(img_ref)
+    # sharded path renders without the final dither; compare through the
+    # same post-processing the unsharded frame applies? render_frame adds
+    # dither — compare with generous tolerance on means and per-pixel.
+    diff = np.abs(a - b).max()
+    assert diff < 1.0 / 128.0, diff
