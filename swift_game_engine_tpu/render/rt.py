@@ -993,7 +993,8 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 cam_pos, width, height, layers=max_layers, interpret=interp,
                 cluster=_RASTER_TRANS_CLUSTER,
                 tile_h=th, flat_tiles=True,
-                ids=ti.astype(jnp.float32), resolve_v=gv)
+                ids=ti.astype(jnp.float32), resolve_v=gv,
+                prior_w=h_o.w_depth)
             trans_recs = [rec_of(h) for h in h_ts]
         hybrid = (rec_of(h_o), trans_recs)
     if mode == "peels":
@@ -1037,10 +1038,12 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
                  base, mask, color, shadow_layers, usage, shadow_rows=None,
                  shadow_clusters=None):
     """One deterministic mirror bounce for the set lanes of ``mask``
-    (RayTracing.metalinc:382-542), chunk-compacted."""
+    (RayTracing.metalinc:382-542), chunk-compacted. The color carry rides
+    as channel-split 1-D arrays (see shade_layers_batched's chunk note)."""
     p = mask.shape[0]
 
-    def body(idx, valid, color):
+    def body(idx, valid, carry):
+        cr, cg, cb = carry
         safe = jnp.minimum(idx, p - 1)
         n_c = n[safe]
         d_c = d[safe]
@@ -1059,10 +1062,15 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         met = metallic[safe]
         f0 = 0.04 * (1.0 - met[..., None]) + base[safe] * met[..., None]
         f = fresnel_schlick3(nov, f0)
-        new_c = color[safe] * (1.0 - f) + refl * f
-        return color.at[idx].set(new_c)
+        old_c = jnp.stack([cr[safe], cg[safe], cb[safe]], axis=-1)
+        new_c = old_c * (1.0 - f) + refl * f
+        return (cr.at[idx].set(new_c[:, 0]), cg.at[idx].set(new_c[:, 1]),
+                cb.at[idx].set(new_c[:, 2]))
 
-    return _chunked_trace(mask, body, color, cap_lanes=_CHUNK_BOUNCE)
+    cr, cg, cb = _chunked_trace(mask, body,
+                                (color[:, 0], color[:, 1], color[:, 2]),
+                                cap_lanes=_CHUNK_BOUNCE)
+    return jnp.stack([cr, cg, cb], axis=-1)
 
 
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
@@ -1082,7 +1090,8 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
     t_len = jnp.linalg.norm(t_dir, axis=-1)
     has_t = found & (transmission > 0.001) & (t_len > 0)
 
-    def body(idx, valid, color):
+    def body(idx, valid, carry):
+        cr, cg, cb = carry
         safe = jnp.minimum(idx, p - 1)
         t_dir_c = t_dir[safe]
         t_dir_n = t_dir_c / jnp.maximum(t_len[safe][..., None], 1e-20)
@@ -1100,12 +1109,16 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         f_s = fresnel_schlick(jnp.clip(jnp.sum(n[safe] * view[safe], axis=-1),
                                        0.0, 1.0), jnp.float32(0.04))[..., None]
         trans_color = refr * base[safe]
-        old_c = color[safe]
+        old_c = jnp.stack([cr[safe], cg[safe], cb[safe]], axis=-1)
         mix_color = trans_color * (1.0 - f_s) + old_c * f_s
         new_c = old_c + (mix_color - old_c) * transmission[safe][..., None]
-        return color.at[idx].set(new_c)
+        return (cr.at[idx].set(new_c[:, 0]), cg.at[idx].set(new_c[:, 1]),
+                cb.at[idx].set(new_c[:, 2]))
 
-    return _chunked_trace(has_t, body, color, cap_lanes=_CHUNK_BOUNCE)
+    cr, cg, cb = _chunked_trace(has_t, body,
+                                (color[:, 0], color[:, 1], color[:, 2]),
+                                cap_lanes=_CHUNK_BOUNCE)
+    return jnp.stack([cr, cg, cb], axis=-1)
 
 
 def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
@@ -1231,7 +1244,11 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             live = jnp.ones(p, bool)
 
         def chunk(idx, valid, carry):
-            colors, alphas = carry
+            # carry is channel-split 1-D arrays: a (nl*p, 3) while carry
+            # gets a dim0-minor layout whose row scatter rewrites the
+            # whole padded buffer at ~3 GB/s (measured 10.7 ms/iteration);
+            # 1-D scatters into T(1024) arrays are cheap.
+            cr, cg, cb, alphas = carry
             safe = jnp.minimum(idx, nl * p - 1)
             lane = safe % p
             oc = ray_o[lane]
@@ -1245,9 +1262,11 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             # alpha_in=0 -> shade_layer's contrib IS the record's alpha
             color, alpha, _ = shade_layer(oc, dc, tc, tric, uc, vc, valid,
                                           jnp.zeros_like(tc))
-            colors = colors.at[idx].set(color)
+            cr = cr.at[idx].set(color[:, 0])
+            cg = cg.at[idx].set(color[:, 1])
+            cb = cb.at[idx].set(color[:, 2])
             alphas = alphas.at[idx].set(alpha)
-            return colors, alphas
+            return cr, cg, cb, alphas
 
         # Records already settled by the incoming chain (saturated or
         # chain-dead lanes) need no shading at all.
@@ -1260,9 +1279,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                                            enable_refraction)
             rec_simple = flat & simple_tri[jnp.maximum(tri_s, 0)]
             heavy = flat & jnp.logical_not(rec_simple)
-        colors, alphas = _chunked(
-            heavy, chunk, (jnp.zeros((nl * p, 3)), jnp.zeros(nl * p)),
-            cap=_CHUNK)
+        z = jnp.zeros(nl * p)
+        cr, cg, cb, alphas = _chunked(heavy, chunk, (z, z, z, z), cap=_CHUNK)
         if rec_simple is not None:
             def cheap(idx, valid):
                 tri_c = jnp.maximum(tri_s[jnp.minimum(idx, nl * p - 1)], 0)
@@ -1272,11 +1290,12 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                                   row[..., 0:3] + row[..., 6:9], 0.0)
                 alpha = jnp.where(valid, jnp.clip(row[..., 3], 0.0, 1.0),
                                   0.0)
-                return color, alpha
+                return color[:, 0], color[:, 1], color[:, 2], alpha
 
-            colors, alphas = _compacted(rec_simple, cheap, (colors, alphas),
-                                        cap=_CHUNK)
-        colors = colors.reshape(nl, p, 3)
+            cr, cg, cb, alphas = _compacted(rec_simple, cheap,
+                                            (cr, cg, cb, alphas), cap=_CHUNK)
+        colors = jnp.stack([cr.reshape(nl, p), cg.reshape(nl, p),
+                            cb.reshape(nl, p)], axis=-1)
         alphas = alphas.reshape(nl, p)
         for li in range(nl):
             live = live & f_s[li] & (accum_alpha < 0.99)

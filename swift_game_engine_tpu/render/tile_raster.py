@@ -619,7 +619,8 @@ def _setup_clusters(v0, v1, v2, view_proj, width, height, opaque=None,
 def _cluster_kernel(*refs,
                     width, height, tiles_x, layers, n_clusters,
                     cluster: int = 0, tile_h: int = 0,
-                    use_lists: bool = False, stream: bool = False):
+                    use_lists: bool = False, stream: bool = False,
+                    prior: bool = False):
     """Front-to-back cluster walk with per-tile scalar AABB reject and
     occlusion early-exit; keeps the ``layers`` nearest fragments per pixel
     (insertion network, as _raster_kernel_peeled).
@@ -635,8 +636,12 @@ def _cluster_kernel(*refs,
     if stream:
         buf_ref, sem = refs[-2], refs[-1]
         refs = refs[:-2]
+    prior_ref = None
     if use_lists:
         (lists_ref, meta_ref, rows_ref, id_out, b1_out, b2_out,
+         w_out) = refs
+    elif prior:
+        (meta_ref, rows_ref, prior_ref, id_out, b1_out, b2_out,
          w_out) = refs
     else:
         lists_ref = None
@@ -656,6 +661,13 @@ def _cluster_kernel(*refs,
     # Pixels beyond the image (tile padding) count as covered at depth 0 so
     # they never hold the early exit open.
     pixel_ok = (pxi < width) & (pyi < height)
+    # Prior per-pixel view-depth bound (round 4): the hybrid mode's
+    # translucent raster passes the OPAQUE raster's depth — fragments at or
+    # behind it can never be shaded (the record merge keeps only
+    # translucent hits strictly in front of the opaque hit), so they are
+    # rejected inline AND the front-to-back early-exit bound starts at the
+    # opaque depth instead of BIG.
+    pb = prior_ref[0] if prior else None
 
     tile_x0 = jnp.float32(1.0) * tx.astype(jnp.float32) * TILE_W
     tile_y0 = jnp.float32(1.0) * ty.astype(jnp.float32) * TILE_H
@@ -713,6 +725,8 @@ def _cluster_kernel(*refs,
                 detp = lam0 * s(9) + lam1 * s(10) + lam2 * s(11)
                 inside = (jnp.minimum(jnp.minimum(lam0, lam1), lam2) >= 0.0) \
                     & (sig > 1e-20) & (s(12) >= 0.0) & (detp > 0.0)
+                if prior:
+                    inside = inside & (detp < pb * sig)
 
                 czn = detp
                 czd = sig
@@ -788,13 +802,19 @@ def _cluster_kernel(*refs,
             if track_opq:
                 depth = jnp.minimum(depth, sf[5 * layers] /
                                     sf[5 * layers + 1])
+            if prior:
+                depth = jnp.minimum(depth, pb)
             depth = jnp.where(pixel_ok, depth, 0.0)
             return jnp.max(depth)
 
         bound = jax.lax.cond(process, new_bound, lambda sf: bound, slots_flat)
         return (j + 1, stop, bound) + slots_flat
 
-    init = (jnp.int32(0), jnp.float32(0.0), BIG * jnp.float32(1.0)) + \
+    if prior:
+        bound0 = jnp.max(jnp.where(pixel_ok, pb, 0.0))
+    else:
+        bound0 = BIG * jnp.float32(1.0)
+    init = (jnp.int32(0), jnp.float32(0.0), bound0) + \
         init_slots
     out = jax.lax.while_loop(cond, body, init)
     slots_flat = out[3:]
@@ -841,7 +861,8 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        interpret: bool = False, opaque=None,
                        cluster: int = 0, tile_h: int = 0,
                        lists: bool = False, stream=None,
-                       flat_tiles: bool = False, ids=None, resolve_v=None):
+                       flat_tiles: bool = False, ids=None, resolve_v=None,
+                       prior_w=None):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
@@ -857,7 +878,11 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     ``ids``: optional (T,) ORIGINAL triangle ids baked into the rows (for
     subset rasters — returned ``tri`` then indexes the global scene);
     ``resolve_v`` must then supply the (gv0, gv1, gv2) GLOBAL vertex
-    arrays for the hit-point resolve."""
+    arrays for the hit-point resolve.
+    ``prior_w``: optional per-pixel view-depth upper bound in FLAT
+    TILE-MAJOR lane order (requires flat_tiles + matching tile_h), e.g.
+    the opaque raster's w_depth — fragments at or behind it are rejected
+    and the early-exit bound starts there (see _cluster_kernel)."""
     th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // th)
@@ -870,10 +895,12 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     if stream is None:
         stream = rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
 
+    assert prior_w is None or (flat_tiles and not lists), \
+        "prior_w needs flat_tiles lane order (and is unsupported with lists)"
     kernel = partial(_cluster_kernel, width=width, height=height,
                      tiles_x=tiles_x, layers=layers, n_clusters=n_clusters,
                      cluster=cluster, tile_h=th, use_lists=lists,
-                     stream=stream)
+                     stream=stream, prior=prior_w is not None)
     tile_spec = pl.BlockSpec((1, layers, th, TILE_W),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -895,6 +922,11 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                                         lambda i: (i, 0, 0),
                                         memory_space=pltpu.SMEM))
         operands.insert(0, tl)
+    if prior_w is not None:
+        pw = jnp.asarray(prior_w, jnp.float32).reshape(tiles, th, TILE_W)
+        in_specs.append(pl.BlockSpec((1, th, TILE_W), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(pw)
     scratch = []
     if stream:
         scratch = [pltpu.VMEM(((cluster or CLUSTER) // 8, 128), jnp.float32),
