@@ -184,19 +184,34 @@ def _cast_select(soup, from_pos, delta, dir, toi, contact, iters,
         ok = ok & (tri_n[..., 1] >= min_normal_y)
 
     toi_masked = jnp.where(ok, toi, BIG)
-    best = jnp.argmin(toi_masked)
-    best_ok = toi_masked[best] < BIG
+    # Best-hit select WITHOUT argmin+indexing: under the per-agent vmap
+    # those lower to batched gathers (measured as a top cost in the crowd
+    # substep). A first-minimum one-hot + masked reductions is pure
+    # elementwise/reduce work; falls back to triangle 0 exactly like
+    # argmin over an all-BIG vector.
+    best_toi = jnp.min(toi_masked, axis=0)
+    best_ok = best_toi < BIG
+    is_best = toi_masked == best_toi
+    sel = is_best & (jnp.cumsum(is_best.astype(jnp.int32), axis=0) == 1)
+    sel = jnp.where(jnp.any(is_best),
+                    sel, jnp.arange(toi.shape[0]) == 0)
+
+    def pick(x):
+        return jnp.sum(jnp.where(sel, x, 0), axis=0)
+
+    def pick3(x):
+        return jnp.sum(jnp.where(sel[..., None], x, 0.0), axis=0)
 
     return CapsuleCastHit(
         hit=best_ok,
-        toi=jnp.where(best_ok, toi[best], BIG),
-        normal=normal[best],
-        tri_normal=tri_n[best],
-        position=tri_p[best],
-        tri_index=jnp.where(best_ok, soup.tri_id[best], -1),
-        mu_s=soup.mu_s[best],
-        mu_k=soup.mu_k[best],
-        flatten=soup.flatten[best] & best_ok,
+        toi=jnp.where(best_ok, pick(toi), BIG),
+        normal=pick3(normal),
+        tri_normal=pick3(tri_n),
+        position=pick3(tri_p),
+        tri_index=jnp.where(best_ok, pick(soup.tri_id), -1),
+        mu_s=pick(soup.mu_s),
+        mu_k=pick(soup.mu_k),
+        flatten=pick(soup.flatten.astype(jnp.int32)).astype(bool) & best_ok,
         iterations=iters,
     )
 
