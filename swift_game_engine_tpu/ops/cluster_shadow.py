@@ -31,6 +31,7 @@ the reference's exact alpha-layer semantics elementwise.
 from __future__ import annotations
 
 import os
+from ..config import knob
 from functools import partial
 from typing import NamedTuple
 
@@ -42,19 +43,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rt_kernel import BLOCK, BIG, EPS
 
-CLUSTER = int(os.environ.get("SGE_SHADOW_CLUSTER", "128"))
+CLUSTER = knob("SGE_SHADOW_CLUSTER")
 UNROLL = 8
 assert CLUSTER % UNROLL == 0
 # Shadow packet size (origins per kernel program). Smaller packets have a
 # tighter light-space footprint (fewer candidate clusters per packet) at
 # the cost of more programs; sweepable independently of the traversal
 # kernels' BLOCK (examples/prof_shadow_sweep.py).
-SBLOCK = int(os.environ.get("SGE_SHADOW_BLOCK", str(BLOCK)))
+SBLOCK = knob("SGE_SHADOW_BLOCK")
 _SSUB = SBLOCK // 128
 assert SBLOCK % 128 == 0
 # Row tables beyond this many bytes stream from HBM via a VMEM window
 # (shared policy with tile_raster; see its _ROWS_VMEM_MAX).
-_ROWS_VMEM_MAX = int(os.environ.get("SGE_RASTER_ROWS_VMEM", str(6 << 20)))
+_ROWS_VMEM_MAX = knob("SGE_RASTER_ROWS_VMEM")
 
 
 class ShadowClusters(NamedTuple):

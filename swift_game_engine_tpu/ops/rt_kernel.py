@@ -38,6 +38,7 @@ Row layout (f32 lanes):
 from __future__ import annotations
 
 import os
+from ..config import knob
 from functools import partial
 from typing import NamedTuple
 
@@ -50,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 # Rays per program. One (8,128) VPU tile per 1024; larger blocks amortize
 # the per-node loop overhead (the kernel is overhead-bound, not ALU-bound)
 # at the cost of a larger per-packet subtree union. Tunable for experiments.
-BLOCK = int(os.environ.get("SGE_RT_BLOCK", "4096"))
+BLOCK = knob("SGE_RT_BLOCK")
 assert BLOCK % 1024 == 0, "BLOCK must be a multiple of 1024"
 _SUB = 8 * (BLOCK // 1024)   # sublane rows per ray operand
 # Timing-only knob: skip leaf triangle tests (WRONG results — used to
@@ -68,21 +69,21 @@ _PROFILE_COUNTS = os.environ.get("SGE_RT_COUNTS") == "1"
 # (<= ~22k nodes, leaving headroom for Mosaic's own scalars); larger trees
 # fall back to the all-VMEM kernel. Measured: 53.6 -> 36.2 ms per primary
 # pass on the demo scene. SGE_RT_SMEM=0 forces the fallback.
-_USE_SMEM = os.environ.get("SGE_RT_SMEM", "1") == "1"
+_USE_SMEM = bool(knob("SGE_RT_SMEM"))
 # Near-first ordered traversal (two-child descent + SMEM stack); see
 # _kernel_smem_ordered. SGE_RT_ORDERED=0 falls back to the skip-link walk.
-_USE_ORDERED = os.environ.get("SGE_RT_ORDERED", "1") == "1"
+_USE_ORDERED = bool(knob("SGE_RT_ORDERED"))
 # Ordering-key variant: 1 = packet-min box entry distance (two f32
 # min-reductions per interior step), 0 = scalar header-only key (projected
 # box-center distance along the packet mean direction — no reductions;
 # ordering is heuristic, correctness unchanged since per-lane t_best
 # pruning stays exact).
-_EXACT_KEY = os.environ.get("SGE_RT_EXACT_KEY", "1") == "1"
+_EXACT_KEY = bool(knob("SGE_RT_EXACT_KEY"))
 _SMEM_MAX_NODES = 22_000
 # All-VMEM fallback cap (rows are 512 B/node); beyond this the HBM
 # streaming kernel takes over. SGE_RT_STREAM=1 forces streaming (testing).
 _VMEM_MAX_NODES = 26_000
-_USE_STREAM = os.environ.get("SGE_RT_STREAM", "0") == "1"
+_USE_STREAM = bool(knob("SGE_RT_STREAM"))
 BIG = np.float32(3.0e38)
 EPS = 1e-6
 ROW = 128
@@ -90,7 +91,7 @@ ROW = 128
 # 128 lanes). Smaller leaves trade per-visit intersection work for a deeper
 # tree (env-tunable for experiments; the tree must be built with matching
 # leaf_size — scene_geometry reads this constant).
-SLOT_N = int(os.environ.get("SGE_RT_LEAF", "12"))
+SLOT_N = knob("SGE_RT_LEAF")
 assert 1 <= SLOT_N <= 12
 
 
@@ -441,7 +442,7 @@ def _kernel_smem_ordered(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 # dominates: 388 leaf vs 589 interior visits/packet, each leaf 12 tris x
 # ~60 vec ops). Kept OFF by default as an experimental path; it may win on
 # narrower packets or leaf-poor trees.
-_USE_INTERVAL = os.environ.get("SGE_RT_INTERVAL", "0") == "1"
+_USE_INTERVAL = bool(knob("SGE_RT_INTERVAL"))
 
 
 def _leaf_tests(row_fn, ox, oy, oz, dx, dy, dz, tb, trib, box_hit=None):
@@ -641,7 +642,7 @@ def _kernel_smem_interval(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 # a small loss (Mosaic evidently doesn't co-schedule the streams enough to
 # beat the lockstep-exit waste), so OFF by default; kept for re-evaluation
 # on future Mosaic versions.
-_USE_DUAL = os.environ.get("SGE_RT_DUAL", "0") == "1"
+_USE_DUAL = bool(knob("SGE_RT_DUAL"))
 
 
 def _kernel_smem_ordered2(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
@@ -787,7 +788,7 @@ def _kernel_smem_ordered2(header_ref, rows_ref, ox_ref, oy_ref, oz_ref,
 # DMA'd in on first touch, and skipped subtrees skip whole chunks' DMAs.
 # The DMA (~2 MB at full HBM bandwidth, issued once per visited chunk) is
 # negligible against the vector work spent inside a visited chunk.
-_STREAM_CHUNK = int(os.environ.get("SGE_RT_STREAM_CHUNK", "4096"))  # rows
+_STREAM_CHUNK = knob("SGE_RT_STREAM_CHUNK")  # rows
 
 
 def _kernel_stream(rows_hbm, ox_ref, oy_ref, oz_ref,

@@ -29,6 +29,7 @@ tunneling.
 from __future__ import annotations
 
 import os
+from ..config import knob
 from typing import NamedTuple
 
 import jax
@@ -41,9 +42,9 @@ from .character import (_resolve_hit, AGENT_SEPARATION, ControllerParams,
                         ControllerState, BIG, DOWN)
 
 # Dense-matrix cutoff and per-cell candidate cap (env-tunable).
-_GRID_MIN_N = int(os.environ.get("SGE_SEP_GRID_MIN_N", "64"))
-_CELL_CAP = int(os.environ.get("SGE_SEP_CELL_CAP", "12"))
-_FORCE_GRID = os.environ.get("SGE_SEP_FORCE_GRID", "0") == "1"
+_GRID_MIN_N = knob("SGE_SEP_GRID_MIN_N")
+_CELL_CAP = knob("SGE_SEP_CELL_CAP")
+_FORCE_GRID = bool(knob("SGE_SEP_FORCE_GRID"))
 
 
 def _pair_accumulate(position, velocity, j_idx, pair_ok, params, inv_w,

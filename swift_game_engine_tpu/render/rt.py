@@ -76,18 +76,19 @@ class DirectionalLights(NamedTuple):
 
 
 import os
+from ..config import knob
 
 # The Pallas packet kernel is the production traversal; the pure-JAX
 # stackless path remains as the reference implementation (and for backends
 # where Mosaic is unavailable, via interpret mode on tiny scenes).
-_FORCE_JAX_TRAVERSAL = os.environ.get("SGE_JAX_TRAVERSAL", "0") == "1"
+_FORCE_JAX_TRAVERSAL = bool(knob("SGE_JAX_TRAVERSAL"))
 # Opt-in any-hit opaque shadow prepass (ops/rt_kernel.trace_shadow_any):
 # wins when shadow loops run many layers (L1S4: 224 -> 205 ms) but adds a
 # fixed pass per shade call that loses at the default L3S4+bounces config
 # (399 -> 426 ms), and it resolves opaque blockers hidden behind
 # shadow_layers translucent hits, which the reference's layer cap misses —
 # off by default for exact reference semantics.
-_SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
+_SHADOW_PREPASS = bool(knob("SGE_SHADOW_PREPASS"))
 # Shared-direction shadow-factor kernel (ops/rt_kernel.trace_shadow_factor):
 # one walk yields the nearest opaque t + the <=shadow_layers nearest
 # translucent hits per lane; the exact reference layer semantics (alpha
@@ -95,7 +96,7 @@ _SHADOW_PREPASS = os.environ.get("SGE_SHADOW_PREPASS", "0") == "1"
 # those records. Measured on one v5e @960x540 demo frame under an identical
 # probe (examples/prof_isolate.py): 555.7 ms vs 596.9 ms full frame with the
 # per-layer loop.
-_SHADOW_KERNEL = os.environ.get("SGE_SHADOW_KERNEL", "1") == "1"
+_SHADOW_KERNEL = bool(knob("SGE_SHADOW_KERNEL"))
 # Shared-origin closest-hit kernel for primary + transparency-layer traces
 # (ops/rt_kernel shared-origin section): leaf tests become 3 dot products
 # against per-frame constants; layers 2+ re-trace the camera ray with a t
@@ -104,9 +105,9 @@ _SHADOW_KERNEL = os.environ.get("SGE_SHADOW_KERNEL", "1") == "1"
 # because interior traversal steps + shadow + shade dominate, not leaf
 # tests. Kept default-on: never slower, and the t-floor continuation
 # avoids rebuilding offset-origin ray state for layers 2+.
-_SO_KERNEL = os.environ.get("SGE_RT_SO", "1") == "1"
+_SO_KERNEL = bool(knob("SGE_RT_SO"))
 # Profiling knob: drop the split-sum specular IBL term.
-_NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
+_NO_SPEC_IBL = bool(knob("SGE_NO_SPEC_IBL"))
 # Cluster shadow kernel (ops.cluster_shadow): shared-direction shadow
 # records from depth-sorted light-space clusters instead of a BVH walk.
 # Takes precedence over the shadow-factor walk when enabled. Default ON:
@@ -115,17 +116,17 @@ _NO_SPEC_IBL = os.environ.get("SGE_NO_SPEC_IBL", "0") == "1"
 # — the depth-sorted cluster sweep with per-packet light-space AABB reject
 # replaces the serial packet walk; modest on the full frame because
 # visibility traces, not shadows, dominate at the current defaults.
-_SHADOW_CLUSTERS = os.environ.get("SGE_SHADOW_CLUSTERS", "1") == "1"
+_SHADOW_CLUSTERS = bool(knob("SGE_SHADOW_CLUSTERS"))
 # Per-packet candidate cluster lists for the shadow kernel (XLA-built
 # light-space overlap lists; the kernel then never scalar-scans
 # non-overlapping clusters). See ops.cluster_shadow._packet_cluster_lists.
-_SHADOW_LISTS = os.environ.get("SGE_SHADOW_LISTS", "0") == "1"
+_SHADOW_LISTS = bool(knob("SGE_SHADOW_LISTS"))
 # Split shadow kernels (round 4, ops.cluster_shadow.ShadowSplit): a cheap
 # occlusion-only sweep over all triangles (nearest opaque t, no insertion
 # network) + the slotted kernel over ONLY the compacted translucent subset.
 # Identical records to the single slotted sweep (measured on one v5e
 # @960x540 demo frame: shadow records pass 64.4 -> ~24 ms).
-_SHADOW_SPLIT = os.environ.get("SGE_SHADOW_SPLIT", "1") == "1"
+_SHADOW_SPLIT = bool(knob("SGE_SHADOW_SPLIT"))
 # Axon-backend workaround (round 4): the cluster-shadow kernels inside the
 # fused frame program CRASH the TPU worker at small resolutions (observed:
 # 320x180 with max_layers=3 — 3+ cluster-sweep dispatch sites; the same
@@ -143,13 +144,13 @@ _SHADOW_CLUSTER_MIN_LANES = int(
 # so honoring the material model is the intended look AND removes the
 # dominant transparency-layer cost (hull layers need no GGX/shadow work).
 # SGE_RT_UNLIT=0 restores the reference kernel's shade-everything behavior.
-_UNLIT_FAST = os.environ.get("SGE_RT_UNLIT", "1") == "1"
+_UNLIT_FAST = bool(knob("SGE_RT_UNLIT"))
 # Consolidated per-hit gathers: read uv corners + material id + unlit from
 # the static (T,8) tri_shade row and the face normal from the per-frame
 # (T,3) table instead of 7 separate vertex-indirection gathers. Measured
 # on one v5e @960x540 DemoScene bench: 3.64 -> 4.14 fps (the largest of
 # the three round-3 shade-path levers; full stack 3.50 -> 4.14 fps).
-_SROW = os.environ.get("SGE_RT_SROW", "1") == "1"
+_SROW = bool(knob("SGE_RT_SROW"))
 
 
 # Chunked compaction: work that touches a small, scattered subset of lanes
@@ -162,30 +163,30 @@ _SROW = os.environ.get("SGE_RT_SROW", "1") == "1"
 # (translucent hulls), so their cap is large to avoid loop iterations;
 # bounce/tap sets are typically small, so their cap is small — fill lanes
 # in an oversized chunk still pay dense elementwise shade cost.
-_CHUNK = int(os.environ.get("SGE_RT_CHUNK", "131072"))
+_CHUNK = knob("SGE_RT_CHUNK")
 # Measured @960x540 demo frame (round 4, with the cond-guarded machinery):
 # 8192 -> 191.3 ms, 32768 -> 211.2, 65536 -> 253.4 — fill-lane waste in the
 # oversized chunk bodies beats the saved per-iteration overhead, so the
 # small cap stays.
-_CHUNK_SMALL = int(os.environ.get("SGE_RT_CHUNK_SMALL", "8192"))
+_CHUNK_SMALL = knob("SGE_RT_CHUNK_SMALL")
 # Bounce (mirror/refraction) chunk cap, separate from the tap cap: bounce
 # chunk bodies carry a full trace + shade + shadow sweep per iteration, so
 # their per-iteration fixed cost is far higher than a tap chunk's.
-_CHUNK_BOUNCE = int(os.environ.get("SGE_RT_CHUNK_BOUNCE", "8192"))
+_CHUNK_BOUNCE = knob("SGE_RT_CHUNK_BOUNCE")
 # Packet-granular compaction for work that re-TRACES (layers 2+, mirror,
 # refraction): gather whole live packets instead of scattered lanes so the
 # retrace stays tile-coherent (see _chunked_packets). 0 = lane compaction.
 # With the layered walk + continuation-batched shading (_LBATCH=2) no
 # transparency retraces exist, and lane compaction measures 336.6 vs
 # 339.6 ms for the remaining bounce traces — default OFF since round 3.
-_PACKET_COMPACT = os.environ.get("SGE_RT_PACKET_COMPACT", "0") == "1"
+_PACKET_COMPACT = bool(knob("SGE_RT_PACKET_COMPACT"))
 # Layered shared-origin trace (ops.rt_kernel.trace_layers_so): ONE ordered
 # walk yields the nearest opaque hit + the (max_layers-1 .. max_layers)
 # nearest translucent hits per lane, so the primary trace AND every
 # transparency continuation re-trace collapse into a single kernel; layer
 # semantics (alpha accumulation, saturation, 2*bias skip) run elementwise
 # on the records. Shading still runs per layer (dense L1, chunked L2+).
-_LAYERED = os.environ.get("SGE_RT_LAYERED", "1") == "1"
+_LAYERED = bool(knob("SGE_RT_LAYERED"))
 # Translucent record slots for the layered walk. The walk's per-lane prune
 # bound is min(t_max, t_opq, ts[slots-1]), so FEWER slots = tighter bound =
 # fewer visited nodes. slots = max_layers reproduces the continuation loop
@@ -194,31 +195,31 @@ _LAYERED = os.environ.get("SGE_RT_LAYERED", "1") == "1"
 # only diverges when >= max_layers translucent surfaces stack in front of
 # the opaque hit (then the last layer shades the opaque early). 0 = auto
 # (max_layers).
-_LAYER_SLOTS = int(os.environ.get("SGE_RT_LAYER_SLOTS", "0"))
+_LAYER_SLOTS = knob("SGE_RT_LAYER_SLOTS")
 # Light-space Morton sort of shadow-ray origins before the cluster shadow
 # kernel (see _light_morton_order): per-lane records are independent of
 # packet grouping, so sorted-trace + inverse scatter is bit-identical while
 # every packet gets a tight light-space footprint (fewer candidate
 # clusters). Costs one argsort + two permutation gathers per shade call.
-_SHADOW_SORT = os.environ.get("SGE_SHADOW_SORT", "0") == "1"
+_SHADOW_SORT = bool(knob("SGE_SHADOW_SORT"))
 # Alpha-payload shadow records: the cluster build bakes 2 + material alpha
 # into the record payload, so applying the reference layer semantics needs
 # NO barycentrics or material gathers per record. Exact whenever no bound
 # base texture carries alpha (the payload IS the shadow-filter alpha);
 # automatically disabled when alpha textures are in use.
-_SHADOW_ALPHA = os.environ.get("SGE_SHADOW_ALPHA", "1") == "1"
+_SHADOW_ALPHA = bool(knob("SGE_SHADOW_ALPHA"))
 # Sort-based compaction: _chunked's per-iteration nonzero scan + mask
 # scatter is replaced by ONE stable sort of the mask upfront; chunk
 # contents and order are identical (live lanes ascending). Measured on one
 # v5e @960x540 DemoScene frame: 357.8 -> 339.8 ms. Default ON.
-_SORT_COMPACT = os.environ.get("SGE_RT_SORT_COMPACT", "1") == "1"
+_SORT_COMPACT = bool(knob("SGE_RT_SORT_COMPACT"))
 # Compaction-schedule builder: "scan" = cumsum + drop-scatter (O(n), one
 # prefix sum and one unique-index scatter), "sort" = stable argsort of the
 # mask (O(n log n)). Both produce the SAME schedule — live lanes ascending
 # — so chunk contents are identical; only the cost of building the
 # permutation differs. Measured @960x540 demo frame (trace mode, reps=4):
 # 276.4 (scan) vs 274.3 ms (sort) — a wash; the sort is not a hot spot.
-_COMPACT_ORDER = os.environ.get("SGE_RT_COMPACT_ORDER", "sort")
+_COMPACT_ORDER = knob("SGE_RT_COMPACT_ORDER")
 # Batched layer shading: with per-layer hit records known upfront (peels,
 # or the layered shared-origin walk), layers' found records shade in ONE
 # compacted chunk loop (colors + alphas scattered per record) and the
@@ -237,7 +238,7 @@ _COMPACT_ORDER = os.environ.get("SGE_RT_COMPACT_ORDER", "sort")
 #       compaction machinery at all. Measured 239.6 vs 211.6 ms @960x540
 #       (the two extra dense shadow sweeps outweigh the chunk machinery)
 #       — kept as an option; 2 stays the default.
-_LBATCH = int(os.environ.get("SGE_RT_LBATCH", "2"))
+_LBATCH = knob("SGE_RT_LBATCH")
 # Simple-unlit record split for batched layer shading: records whose
 # material is unlit with NO bound textures, no transmission and no mirror
 # eligibility (all static per material) shade as packed-row gathers —
@@ -248,22 +249,22 @@ _LBATCH = int(os.environ.get("SGE_RT_LBATCH", "2"))
 # mask build + second compacted pass cost more than the batched chunk
 # loop saves — the unlit fast path inside the chunk body (dead shadow
 # packets, gated BRDF) already absorbs most of the win. Default OFF.
-_UNLIT_SPLIT = os.environ.get("SGE_RT_UNLIT_SPLIT", "0") == "1"
+_UNLIT_SPLIT = bool(knob("SGE_RT_UNLIT_SPLIT"))
 # Timing-only attribution knobs (examples/prof_shade_parts.py): knock out
 # one shade sub-part each. WRONG output — never enabled in production.
-_PROF_SHADOW_OFF = os.environ.get("SGE_PROF_SHADOW_OFF", "0") == "1"
-_PROF_BRDF_OFF = os.environ.get("SGE_PROF_BRDF_OFF", "0") == "1"
-_PROF_NO_BOUNCE = os.environ.get("SGE_PROF_NO_BOUNCE", "0") == "1"
-_PROF_LAYERS1 = os.environ.get("SGE_PROF_LAYERS1", "0") == "1"
+_PROF_SHADOW_OFF = bool(knob("SGE_PROF_SHADOW_OFF"))
+_PROF_BRDF_OFF = bool(knob("SGE_PROF_BRDF_OFF"))
+_PROF_NO_BOUNCE = bool(knob("SGE_PROF_NO_BOUNCE"))
+_PROF_LAYERS1 = bool(knob("SGE_PROF_LAYERS1"))
 # Cluster-rasterizer knobs threaded into rasterize_clusters (0 = module
 # defaults; see render.tile_raster).
-_RASTER_LISTS = os.environ.get("SGE_RASTER_LISTS", "0") == "1"
-_RASTER_TILE_H = int(os.environ.get("SGE_RASTER_TILE_H", "0"))
-_RASTER_CLUSTER = int(os.environ.get("SGE_RASTER_CLUSTER_RT", "0"))
+_RASTER_LISTS = bool(knob("SGE_RASTER_LISTS"))
+_RASTER_TILE_H = knob("SGE_RASTER_TILE_H")
+_RASTER_CLUSTER = knob("SGE_RASTER_CLUSTER_RT")
 # Cluster size for the hybrid mode's translucent-subset raster: the demo's
 # translucent set is a few thousand hull triangles with LARGE screen
 # footprints, so small clusters (tight AABBs) dominate the raster's cost.
-_RASTER_TRANS_CLUSTER = int(os.environ.get("SGE_RASTER_TRANS_CLUSTER", "16"))
+_RASTER_TRANS_CLUSTER = knob("SGE_RASTER_TRANS_CLUSTER")
 
 
 def _chunked_trace(mask, body, carry, cap_lanes):
@@ -905,7 +906,7 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 #              records the layered walk yields (incl. the 2*bias
 #              continuation skip — closer to the traced semantics than
 #              "peels"). Visibility cost collapses to the opaque raster.
-_RT_PRIMARY = os.environ.get("SGE_RT_PRIMARY", "auto")
+_RT_PRIMARY = knob("SGE_RT_PRIMARY")
 
 
 def _opaque_tris(geo: SceneGeometry):

@@ -32,6 +32,7 @@ fixed-function blending, PipelineBuilder.swift:37-45).
 from __future__ import annotations
 
 import os
+from ..config import knob
 from functools import partial
 from typing import NamedTuple
 
@@ -47,16 +48,16 @@ TILE_W = 128
 # Max candidate triangles per tile. Overflowing tiles drop the excess for
 # that frame (counted in the returned stats) — raise SGE_RASTER_K for
 # pathological all-triangles-in-one-tile viewpoints.
-RASTER_K = int(os.environ.get("SGE_RASTER_K", "8192"))
+RASTER_K = knob("SGE_RASTER_K")
 # Cluster rasterizer (the round-3 default, see rasterize_clusters):
 # triangles per cluster. Mesh-order clusters stay spatially tight; smaller
 # clusters reject tighter but add per-cluster scalar overhead.
-CLUSTER = int(os.environ.get("SGE_RASTER_CLUSTER", "128"))
+CLUSTER = knob("SGE_RASTER_CLUSTER")
 assert CLUSTER % 8 == 0
 # Candidate rows processed per loop iteration. The per-candidate vector
 # work (3 edge dots + compares on a 32x128 block) is far below the VPU's
 # issue width, so the loop is overhead-bound; unrolling amortizes it.
-UNROLL = int(os.environ.get("SGE_RASTER_UNROLL", "8"))
+UNROLL = knob("SGE_RASTER_UNROLL")
 assert RASTER_K % UNROLL == 0
 BIG = np.float32(3.0e38)
 
@@ -853,7 +854,7 @@ def _tile_cluster_lists(meta, tiles_x: int, tiles_y: int, tile_h: int):
 # Row tables beyond this many bytes stream from HBM (see _cluster_kernel
 # ``stream``): the scoped-VMEM budget is ~16 MB shared with the tile
 # outputs, so un-decimated triangle counts cannot hold the whole table.
-_ROWS_VMEM_MAX = int(os.environ.get("SGE_RASTER_ROWS_VMEM", str(6 << 20)))
+_ROWS_VMEM_MAX = knob("SGE_RASTER_ROWS_VMEM")
 
 
 def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,

@@ -25,6 +25,7 @@ assets, the player body falls back to the procedural skeleton-capsule skin
 from __future__ import annotations
 
 import os
+from ..config import knob
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -75,8 +76,7 @@ class DemoScene:
     # raising the budget (SGE_IMPORT_TRI_BUDGET=0 disables decimation) is a
     # fidelity/throughput knob, not a hard limit. Collision always uses the
     # exact hulls regardless.
-    import_tri_budget: int = int(os.environ.get("SGE_IMPORT_TRI_BUDGET",
-                                                "20000")) or (1 << 30)
+    import_tri_budget: int = knob("SGE_IMPORT_TRI_BUDGET") or (1 << 30)
     # Pad the entity table with dormant slots to a multiple of this count
     # (entity-axis sharding needs divisible leading dims; 0/1 = no pad).
     pad_entities_to: int = 1
