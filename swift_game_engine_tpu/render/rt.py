@@ -965,8 +965,23 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             view_proj = jnp.linalg.inv(jnp.asarray(inv_view_proj, jnp.float32))
         interp = jax.default_backend() != "tpu"
 
-    def rec_of(h):
-        return (h.t, h.tri, h.u, h.v, h.found)
+    if mode == "hybrid":
+        # Exact algebraic w->t conversion shared by every record: for a
+        # pinhole ray p = cam + d*t, the clip w (the rasterizer's
+        # interpolated view depth) is w = w(cam) + t * (vp[3,:3] . d), so
+        # t = (w - w(cam)) / (vp[3,:3] . d) — elementwise, replacing the
+        # resolve's three (P,3) vertex gathers PER LAYER (~16 ms/frame).
+        vp3 = jnp.asarray(view_proj, jnp.float32)[3]
+        w_cam = jnp.sum(vp3[:3] * jnp.asarray(cam_pos, jnp.float32)) + vp3[3]
+        wd = ray_d @ vp3[:3]
+        inv_wd = 1.0 / jnp.where(jnp.abs(wd) < 1e-12, 1e-12, wd)
+
+        def rec_of(h):
+            t = jnp.where(h.found, (h.w_depth - w_cam) * inv_wd, BIG)
+            return (t, h.tri, h.u, h.v, h.found)
+    else:
+        def rec_of(h):
+            return (h.t, h.tri, h.u, h.v, h.found)
 
     if mode == "hybrid":
         from .tile_raster import rasterize_clusters
@@ -977,7 +992,6 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         tr_flag = np.asarray(geo.tri_translucent)
         opq_idx = np.nonzero(~tr_flag)[0]
         tr_idx = np.nonzero(tr_flag)[0]
-        gv = (fg.bvh.v0, fg.bvh.v1, fg.bvh.v2)
 
         oi = jnp.asarray(opq_idx, jnp.int32)
         h_o = rasterize_clusters(
@@ -985,7 +999,7 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             width, height, layers=1, interpret=interp,
             opaque=jnp.ones(len(opq_idx), bool), cluster=_RASTER_CLUSTER,
             tile_h=th, lists=_RASTER_LISTS, flat_tiles=True,
-            ids=oi.astype(jnp.float32), resolve_v=gv)[0]
+            ids=oi.astype(jnp.float32), resolve_t=False)[0]
         trans_recs = []
         if len(tr_idx):
             ti = jnp.asarray(tr_idx, jnp.int32)
@@ -994,7 +1008,7 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 cam_pos, width, height, layers=max_layers, interpret=interp,
                 cluster=_RASTER_TRANS_CLUSTER,
                 tile_h=th, flat_tiles=True,
-                ids=ti.astype(jnp.float32), resolve_v=gv,
+                ids=ti.astype(jnp.float32), resolve_t=False,
                 prior_w=h_o.w_depth)
             trans_recs = [rec_of(h) for h in h_ts]
         hybrid = (rec_of(h_o), trans_recs)

@@ -863,7 +863,7 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
                        cluster: int = 0, tile_h: int = 0,
                        lists: bool = False, stream=None,
                        flat_tiles: bool = False, ids=None, resolve_v=None,
-                       prior_w=None):
+                       prior_w=None, resolve_t=True):
     """Cluster-binned depth-peeled rasterization -> list of ``layers``
     RasterHits (nearest fragment first). See the cluster section docstring;
     no candidate-count overflow mode exists (complete by construction).
@@ -883,7 +883,12 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
     ``prior_w``: optional per-pixel view-depth upper bound in FLAT
     TILE-MAJOR lane order (requires flat_tiles + matching tile_h), e.g.
     the opaque raster's w_depth — fragments at or behind it are rejected
-    and the early-exit bound starts there (see _cluster_kernel)."""
+    and the early-exit bound starts there (see _cluster_kernel).
+    ``resolve_t=False`` skips the gather-based world-hit-point ray-t
+    resolve (three (P,3) vertex gathers per layer — ~16 ms/frame at
+    960x540); ``t`` is then returned as the raw view depth ``w`` and the
+    caller converts with the exact algebraic t = (w - w(cam)) /
+    (vp[3,:3]@d) per lane."""
     th = tile_h or _TILE_H_DEFAULT
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // th)
@@ -964,12 +969,15 @@ def rasterize_clusters(v0, v1, v2, view_proj, cam_pos, width: int,
         b2_l = untile(b2, l)
         w_l = untile(w, l)
         found = tid_l >= 0
-        safe = jnp.maximum(tid_l, 0)
-        b0 = 1.0 - b1_l - b2_l
-        p_world = (b0[:, None] * rv0[safe] + b1_l[:, None] * rv1[safe] +
-                   b2_l[:, None] * rv2[safe])
-        t = jnp.linalg.norm(p_world - cam, axis=-1)
-        t = jnp.where(found, t, BIG)
+        if resolve_t:
+            safe = jnp.maximum(tid_l, 0)
+            b0 = 1.0 - b1_l - b2_l
+            p_world = (b0[:, None] * rv0[safe] + b1_l[:, None] * rv1[safe] +
+                       b2_l[:, None] * rv2[safe])
+            t = jnp.linalg.norm(p_world - cam, axis=-1)
+            t = jnp.where(found, t, BIG)
+        else:
+            t = jnp.where(found, w_l, BIG)
         outs.append(RasterHits(t=t, tri=jnp.where(found, tid_l, -1),
                                u=b1_l, v=b2_l, found=found, w_depth=w_l,
                                overflow=overflow))
