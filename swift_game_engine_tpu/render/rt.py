@@ -458,12 +458,25 @@ def _chunked_packets(mask, body, carry, cap_packets: int):
     return carry
 
 
+# Batches at or below this STATIC lane count run their inner taps /
+# normal-map work dense-masked instead of chunk-compacted. Measured a
+# LOSS at 32768 on the demo frame (185.6 vs 172.2 ms with it off — the
+# dense masked work in every small body beats the machinery it saves
+# only on paper); default off, kept as an experiment knob.
+_DENSE_SMALL = knob("SGE_RT_DENSE_SMALL", 0)
+
+
 def _sparse_tap(textures, tex_ids, uv, default):
     """Bilinear texture taps only for lanes that bind a texture
     (tex_id >= 0), chunk-compacted; other lanes get ``default``. Each
     bilinear sample is 4 HBM gathers per lane, so dense taps dominate shade
-    cost when only a few lanes are textured."""
+    cost when only a few lanes are textured. Small static batches tap
+    densely (see _DENSE_SMALL)."""
     p = tex_ids.shape[0]
+    bound = tex_ids >= 0
+    if p <= _DENSE_SMALL:
+        s = sample_bilinear(textures, jnp.maximum(tex_ids, 0), uv, default)
+        return jnp.where(bound[:, None], s, default)
     out = jnp.broadcast_to(default, (p, 4))
 
     def body(idx, valid, out):
@@ -471,7 +484,7 @@ def _sparse_tap(textures, tex_ids, uv, default):
         s = sample_bilinear(textures, tex_ids[safe], uv[safe], default)
         return out.at[idx].set(s)
 
-    return _chunked(tex_ids >= 0, body, out, cap=_CHUNK_SMALL)
+    return _chunked(bound, body, out, cap=_CHUNK_SMALL)
 
 
 @partial(jax.jit, static_argnames=())
@@ -835,7 +848,26 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
                 -n_mapped, n_mapped)
             return n_out.at[idx].set(n_mapped)
 
-        n = _chunked(m["normal_tex"] >= 0, nm_body, n_geom, cap=_CHUNK_SMALL)
+        if pshape <= _DENSE_SMALL:
+            # dense-masked normal mapping for small batches (_DENSE_SMALL)
+            has_nm = m["normal_tex"] >= 0
+            tv = geo.tri[safe_tri]
+            n_vert = normalize(_interp(fg.nrm, tv, u, v))
+            tan4 = _interp(fg.tan, tv, u, v)
+            tan = normalize(tan4[..., :3])
+            n_tex = sample_bilinear(geo.textures,
+                                    jnp.maximum(m["normal_tex"], 0), uv,
+                                    jnp.array([0.5, 0.5, 1.0, 1.0]))[..., :3]
+            n_mapped = apply_normal_map(n_geom, n_vert, tan,
+                                        jnp.sign(tan4[..., 3]), n_tex,
+                                        m["normal_scale"], view)
+            n_mapped = jnp.where(
+                jnp.sum(n_mapped * ray_d, axis=-1, keepdims=True) > 0,
+                -n_mapped, n_mapped)
+            n = jnp.where(has_nm[..., None], n_mapped, n_geom)
+        else:
+            n = _chunked(m["normal_tex"] >= 0, nm_body, n_geom,
+                         cap=_CHUNK_SMALL)
     else:
         n = n_geom
 

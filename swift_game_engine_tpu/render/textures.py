@@ -76,10 +76,15 @@ def sample_bilinear(bank: TextureBank, tex_id, uv, default):
     y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, s - 2)
     fx = (u - x0)[..., None]
     fy = (v - y0)[..., None]
-    d = bank.data
-    v00 = d[tid, y0, x0]
-    v01 = d[tid, y0, x0 + 1]
-    v10 = d[tid, y0 + 1, x0]
-    v11 = d[tid, y0 + 1, x0 + 1]
+    # Flat-index ROW gathers: 3-D integer indexing (d[tid, y0, x0]) lowers
+    # to per-element multi-index gathers (~ms-scale per tap per image of
+    # lanes); single-index row gathers of the flattened bank are ~100x
+    # faster (see ibl.sample_brdf_lut).
+    d = bank.data.reshape(-1, bank.data.shape[-1])
+    base = (tid * s + y0) * s + x0
+    v00 = d[base]
+    v01 = d[base + 1]
+    v10 = d[base + s]
+    v11 = d[base + s + 1]
     out = (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
     return jnp.where((tex_id >= 0)[..., None], out, default)
