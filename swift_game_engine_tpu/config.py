@@ -53,7 +53,7 @@ class RenderConfig:
     SGE_RT_LBATCH: int = 2               # batched continuation layers
     SGE_RT_CHUNK: int = 131072
     SGE_RT_CHUNK_SMALL: int = 8192
-    SGE_RT_CHUNK_BOUNCE: int = 8192
+    SGE_RT_CHUNK_BOUNCE: int = 16384
     SGE_RT_SORT_COMPACT: int = 1
     SGE_RT_COMPACT_ORDER: str = "sort"
     SGE_RT_UNLIT: int = 1

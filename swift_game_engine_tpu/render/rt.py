@@ -127,6 +127,8 @@ _SHADOW_LISTS = bool(knob("SGE_SHADOW_LISTS"))
 # Identical records to the single slotted sweep (measured on one v5e
 # @960x540 demo frame: shadow records pass 64.4 -> ~24 ms).
 _SHADOW_SPLIT = bool(knob("SGE_SHADOW_SPLIT"))
+# Scene-AABB exit bound on shadow-ray t (exact; A/B knob)
+_SHADOW_TEXIT = bool(knob("SGE_SHADOW_TEXIT", 1))
 # Axon-backend workaround (round 4): the cluster-shadow kernels inside the
 # fused frame program CRASH the TPU worker at small resolutions (observed:
 # 320x180 with max_layers=3 — 3+ cluster-sweep dispatch sites; the same
@@ -683,23 +685,45 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         # bound enormously (most origins exit the AABB after a few units
         # along the sun direction) without changing any record the layer
         # semantics can see.
-        bmin = fg.bvh.bmin[0]
-        bmax = fg.bvh.bmax[0]
-        safe_l = jnp.where(jnp.abs(l) < 1e-12, 1e-12, l)
-        tx0 = (bmin[None, :] - o0) / safe_l[None, :]
-        tx1 = (bmax[None, :] - o0) / safe_l[None, :]
-        t_exit = jnp.min(jnp.maximum(tx0, tx1), axis=-1) + 1e-2
-        t_lim = jnp.where(active,
-                          jnp.minimum(jnp.minimum(max_dist, BIG),
-                                      jnp.maximum(t_exit, 0.0)),
-                          jnp.float32(0.0))
+        if _SHADOW_TEXIT:
+            bmin = fg.bvh.bmin[0]
+            bmax = fg.bvh.bmax[0]
+            safe_l = jnp.where(jnp.abs(l) < 1e-12, 1e-12, l)
+            tx0 = (bmin[None, :] - o0) / safe_l[None, :]
+            tx1 = (bmax[None, :] - o0) / safe_l[None, :]
+            t_exit = jnp.min(jnp.maximum(tx0, tx1), axis=-1) + 1e-2
+            t_lim = jnp.where(active,
+                              jnp.minimum(jnp.minimum(max_dist, BIG),
+                                          jnp.maximum(t_exit, 0.0)),
+                              jnp.float32(0.0))
+        else:
+            t_lim = jnp.where(active, jnp.minimum(max_dist, BIG),
+                              jnp.float32(0.0))
         # alpha_payload must mirror the build condition in _render_rays
         # (both derive it from the static usage tuple).
         ap = _SHADOW_ALPHA and not (usage.base and usage.alpha_tex)
         if isinstance(shadow_clusters, ShadowSplit):
-            t_opq, ts, ids = trace_shadow_split(
-                shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
-                interpret=jax.default_backend() != "tpu", alpha_payload=ap)
+            if _SHADOW_SORT:
+                # light-space Morton order: tightens packet footprints for
+                # scattered origin sets (chunk-compacted continuation
+                # records span the whole screen); records are per-lane, so
+                # sorted-trace + inverse scatter is bit-identical.
+                order = _light_morton_order(shadow_clusters.full.basis,
+                                            o_sh, t_lim)
+                t_s, ts_s, ids_s = trace_shadow_split(
+                    shadow_clusters, o_sh[order], t_lim[order],
+                    n_slots=shadow_layers,
+                    interpret=jax.default_backend() != "tpu",
+                    alpha_payload=ap)
+                p_sh = o_sh.shape[0]
+                t_opq = jnp.zeros(p_sh).at[order].set(t_s)
+                ts = jnp.zeros((p_sh, shadow_layers)).at[order].set(ts_s)
+                ids = jnp.zeros((p_sh, shadow_layers)).at[order].set(ids_s)
+            else:
+                t_opq, ts, ids = trace_shadow_split(
+                    shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
+                    interpret=jax.default_backend() != "tpu",
+                    alpha_payload=ap)
             return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
                                          active, max_dist, shadow_layers,
                                          usage, alpha_payload=ap)
