@@ -97,13 +97,22 @@ def _pair_accumulate(position, velocity, j_idx, pair_ok, params, inv_w,
     return d_pos, d_vel
 
 
-def _grid_candidates(position, params, separation_margin):
-    """XZ-grid candidate lists: (j_idx (N, 9*CAP), base_ok mask).
+def _grid_candidate_rows(position, velocity, params, inv_w, solid,
+                         separation_margin):
+    """XZ-grid candidates as a ROW table: (rows (N, 9*CAP, 12), ok mask).
 
     Cell size = 2*maxR + margin (Systems.swift:2130-2135). Sort agents by
     integer cell key, then each agent windows CAP sorted entries from each
     neighbor cell found via searchsorted. All shapes static.
-    """
+
+    The per-agent attributes ride in ONE (N, 12) row table gathered once
+    into sorted order and once per candidate window: row gathers are fast
+    on TPU, while the previous per-attribute j_idx gathers (8 scalar 1-D
+    gathers of (N, 9*CAP)) lowered to per-element gathers and dominated
+    the crowd substep's separation cost.
+
+    Row layout: [px, py, pz, vx, vz, radius, half_height, skin, inv_w,
+    solid, id, pad]."""
     n = position.shape[0]
     cell = 2.0 * jnp.max(params.agent_radius) + separation_margin
     # Clamp cell coords so parked/despawned agents (arbitrary positions,
@@ -118,6 +127,15 @@ def _grid_candidates(position, params, separation_margin):
     order = jnp.argsort(key)
     key_sorted = key[order]
 
+    table = jnp.stack([
+        position[:, 0], position[:, 1], position[:, 2],
+        velocity[:, 0], velocity[:, 2],
+        params.agent_radius, params.half_height, params.skin_width,
+        inv_w, solid.astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32), jnp.zeros(n),
+    ], axis=-1)
+    table_sorted = table[order]                                   # (N,12)
+
     offs = jnp.array([dxc * 1 for dxc in range(-1, 2)], jnp.int32)
     # 9 neighbor cell keys per agent
     nk = key[:, None] + (offs[:, None] * width + offs[None, :]).reshape(-1)[None, :]
@@ -126,9 +144,58 @@ def _grid_candidates(position, params, separation_margin):
     win_c = jnp.minimum(win, n - 1)
     same_cell = key_sorted[win_c] == nk[..., None]
     in_range = win < n
-    j_idx = order[win_c].reshape(n, -1)
+    rows = table_sorted[win_c.reshape(n, -1)]                     # (N,K,12)
     ok = (same_cell & in_range).reshape(n, -1)
-    return j_idx, ok
+    return rows, ok
+
+
+def _pair_accumulate_rows(position, velocity, rows, pair_ok, params, inv_w,
+                          separation_margin, height_margin):
+    """Row-table twin of _pair_accumulate: partner attributes come from the
+    gathered candidate rows instead of j_idx gathers. Identical math."""
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    jx, jy, jz = rows[..., 0], rows[..., 1], rows[..., 2]
+    dx = px[:, None] - jx
+    dz = pz[:, None] - jz
+    dist_sq = dx * dx + dz * dz
+
+    skin_allow = jnp.minimum(params.skin_width[:, None], rows[..., 7])
+    margin = jnp.minimum(separation_margin, skin_allow)
+    min_dist = params.agent_radius[:, None] + rows[..., 5] + margin
+
+    a_min = py - params.half_height
+    a_max = py + params.half_height
+    j_min = jy - rows[..., 6]
+    j_max = jy + rows[..., 6]
+    height_sep = (a_max[:, None] < j_min - height_margin) | \
+                 (a_min[:, None] > j_max + height_margin)
+
+    w_sum = inv_w[:, None] + rows[..., 8]
+    overlap = pair_ok & ~height_sep & (dist_sq < min_dist * min_dist) & \
+        (w_sum > 0)
+
+    dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-8))
+    nx = dx / dist
+    nz = dz / dist
+    pen = min_dist - dist
+    corr = jnp.where(overlap, pen / jnp.maximum(w_sum, 1e-20), 0.0)
+
+    move_x = jnp.sum(nx * corr, axis=1) * inv_w
+    move_z = jnp.sum(nz * corr, axis=1) * inv_w
+    zeros = jnp.zeros_like(move_x)
+    d_pos = jnp.stack([move_x, zeros, move_z], axis=-1)
+
+    vx, vz = velocity[:, 0], velocity[:, 2]
+    rvx = vx[:, None] - rows[..., 3]
+    rvz = vz[:, None] - rows[..., 4]
+    vn = rvx * nx + rvz * nz
+    approaching = overlap & (vn < 0)
+    impulse = jnp.where(approaching, -vn, 0.0)
+    scale = inv_w[:, None] / jnp.maximum(w_sum, 1e-20)
+    dvx = jnp.sum(nx * impulse * scale, axis=1)
+    dvz = jnp.sum(nz * impulse * scale, axis=1)
+    d_vel = jnp.stack([dvx, zeros, dvz], axis=-1)
+    return d_pos, d_vel
 
 
 def separate_agents(soup: TriangleSoup, position, velocity,
@@ -150,16 +217,20 @@ def separate_agents(soup: TriangleSoup, position, velocity,
 
     for _ in range(iterations):
         if use_grid:
-            j_idx, ok = _grid_candidates(position, params, separation_margin)
-            self_pair = j_idx == jnp.arange(n)[:, None]
-            pair_ok = ok & ~self_pair & solid[:, None] & solid[j_idx]
+            rows, ok = _grid_candidate_rows(position, velocity, params,
+                                            inv_w, solid, separation_margin)
+            self_pair = rows[..., 10] == jnp.arange(n)[:, None]
+            pair_ok = ok & ~self_pair & solid[:, None] & (rows[..., 9] > 0.5)
+            d_pos, d_vel = _pair_accumulate_rows(
+                position, velocity, rows, pair_ok, params, inv_w,
+                separation_margin, height_margin)
         else:
             j_idx = jnp.broadcast_to(jnp.arange(n)[None, :], (n, n))
             pair_ok = solid[:, None] & solid[None, :] & \
                 ~jnp.eye(n, dtype=bool)
-        d_pos, d_vel = _pair_accumulate(position, velocity, j_idx, pair_ok,
-                                        params, inv_w, separation_margin,
-                                        height_margin)
+            d_pos, d_vel = _pair_accumulate(position, velocity, j_idx,
+                                            pair_ok, params, inv_w,
+                                            separation_margin, height_margin)
         position = position + d_pos
         velocity = velocity + d_vel
 

@@ -31,12 +31,14 @@ def _accum(position, velocity, params, use_grid):
     inv_w = jnp.where(params.agent_mass_weight > 0,
                       1.0 / jnp.maximum(params.agent_mass_weight, 1e-20), 0.0)
     if use_grid:
-        j_idx, ok = S._grid_candidates(position, params, 0.2)
-        pair_ok = ok & (j_idx != jnp.arange(n)[:, None]) & \
-            solid[:, None] & solid[j_idx]
-    else:
-        j_idx = jnp.broadcast_to(jnp.arange(n)[None, :], (n, n))
-        pair_ok = solid[:, None] & solid[None, :] & ~jnp.eye(n, dtype=bool)
+        rows, ok = S._grid_candidate_rows(position, velocity, params,
+                                          inv_w, solid, 0.2)
+        pair_ok = ok & (rows[..., 10] != jnp.arange(n)[:, None]) & \
+            solid[:, None] & (rows[..., 9] > 0.5)
+        return S._pair_accumulate_rows(position, velocity, rows, pair_ok,
+                                       params, inv_w, 0.2, 0.1)
+    j_idx = jnp.broadcast_to(jnp.arange(n)[None, :], (n, n))
+    pair_ok = solid[:, None] & solid[None, :] & ~jnp.eye(n, dtype=bool)
     return S._pair_accumulate(position, velocity, j_idx, pair_ok,
                               params, inv_w, 0.2, 0.1)
 
