@@ -140,41 +140,197 @@ def segment_triangle_intersect(a, b, v0, v1, v2):
     return hit, point
 
 
+# ---------------------------------------------------------------------------
+# COLUMN-FORM interiors. Ops on (..., 3)-shaped arrays put the 3-wide minor
+# dim on the 128-lane axis — 125/128 lane waste on every elementwise op and
+# a relayout between most of them (the same lesson scene_geometry's cluster
+# setup learned: 25 ms -> <2 ms). The capsule-triangle distance is the
+# inner loop of every cast/overlap over (agents x candidate-tris) pairs, so
+# its interior runs on per-axis column arrays; the (.., 3) interface packs
+# only at the boundary.
+# ---------------------------------------------------------------------------
+
+
+def _cols(v):
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def _cpt_cols(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz):
+    """closest_point_on_triangle, column form -> (dist_sq, qx, qy, qz)."""
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    acx, acy, acz = cx - ax, cy - ay, cz - az
+    apx, apy, apz = px - ax, py - ay, pz - az
+    d1 = abx * apx + aby * apy + abz * apz
+    d2 = acx * apx + acy * apy + acz * apz
+
+    bpx, bpy, bpz = px - bx, py - by, pz - bz
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+
+    cpx, cpy, cpz = px - cx, py - cy, pz - cz
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    m_a = (d1 <= 0) & (d2 <= 0)
+    m_b = (d3 >= 0) & (d4 <= d3)
+    m_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    m_c = (d6 >= 0) & (d5 <= d6)
+    m_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    m_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    def safe_div(num, den):
+        return num / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+
+    w_ab = safe_div(d1, d1 - d3)
+    w_ac = safe_div(d2, d2 - d6)
+    w_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    denom = safe_div(jnp.ones_like(va), va + vb + vc)
+    wv = vb * denom
+    wc = vc * denom
+
+    def pick(axis_a, ab_c, ac_c, b_c, c_c, cb_c):
+        q = axis_a + ab_c * wv + ac_c * wc
+        q = jnp.where(m_bc, b_c + cb_c * w_bc, q)
+        q = jnp.where(m_ac, axis_a + ac_c * w_ac, q)
+        q = jnp.where(m_c, c_c, q)
+        q = jnp.where(m_ab, axis_a + ab_c * w_ab, q)
+        q = jnp.where(m_b, b_c, q)
+        q = jnp.where(m_a, axis_a, q)
+        return q
+
+    qx = pick(ax, abx, acx, bx, cx, cx - bx)
+    qy = pick(ay, aby, acy, by, cy, cy - by)
+    qz = pick(az, abz, acz, bz, cz, cz - bz)
+    dx, dy, dz = px - qx, py - qy, pz - qz
+    return dx * dx + dy * dy + dz * dz, qx, qy, qz
+
+
+def _seg_seg_cols(p1x, p1y, p1z, q1x, q1y, q1z,
+                  p2x, p2y, p2z, q2x, q2y, q2z):
+    """segment_segment_closest, column form ->
+    (dist_sq, c1x, c1y, c1z, c2x, c2y, c2z)."""
+    d1x, d1y, d1z = q1x - p1x, q1y - p1y, q1z - p1z
+    d2x, d2y, d2z = q2x - p2x, q2y - p2y, q2z - p2z
+    rx, ry, rz = p1x - p2x, p1y - p2y, p1z - p2z
+    a = d1x * d1x + d1y * d1y + d1z * d1z
+    e = d2x * d2x + d2y * d2y + d2z * d2z
+    f = d2x * rx + d2y * ry + d2z * rz
+    c = d1x * rx + d1y * ry + d1z * rz
+    b = d1x * d2x + d1y * d2y + d1z * d2z
+
+    denom = a * e - b * b
+    s_general = jnp.clip(jnp.where(jnp.abs(denom) > 0, (b * f - c * e) /
+                                   jnp.where(denom == 0, 1.0, denom), 0.0),
+                         0.0, 1.0)
+
+    t_nom = b * s_general + f
+    e_safe = jnp.where(e < _EPS, 1.0, e)
+    a_safe = jnp.where(a < _EPS, 1.0, a)
+
+    s = s_general
+    t = t_nom / e_safe
+    s = jnp.where(t_nom < 0, jnp.clip(-c / a_safe, 0.0, 1.0), s)
+    t = jnp.where(t_nom < 0, 0.0, t)
+    s = jnp.where(t_nom > e, jnp.clip((b - c) / a_safe, 0.0, 1.0), s)
+    t = jnp.where(t_nom > e, 1.0, t)
+
+    both_pts = (a <= _EPS) & (e <= _EPS)
+    seg1_pt = (a <= _EPS) & ~both_pts
+    seg2_pt = (e <= _EPS) & ~both_pts
+    s = jnp.where(both_pts | seg1_pt, 0.0, s)
+    t = jnp.where(both_pts, 0.0,
+                  jnp.where(seg1_pt, jnp.clip(f / e_safe, 0.0, 1.0), t))
+    s = jnp.where(seg2_pt, jnp.clip(-c / a_safe, 0.0, 1.0), s)
+    t = jnp.where(seg2_pt, 0.0, t)
+
+    c1x, c1y, c1z = p1x + d1x * s, p1y + d1y * s, p1z + d1z * s
+    c2x, c2y, c2z = p2x + d2x * t, p2y + d2y * t, p2z + d2z * t
+    dx, dy, dz = c1x - c2x, c1y - c2y, c1z - c2z
+    return dx * dx + dy * dy + dz * dz, c1x, c1y, c1z, c2x, c2y, c2z
+
+
 def segment_triangle_distance(center, half_height, v0, v1, v2):
     """Distance from a Y-axis capsule core segment to a triangle.
 
     The segment is [center + (0,h,0), center - (0,h,0)]. Returns
     (dist, seg_point, tri_point); dist == 0 with coincident points when the
     segment pierces the triangle (reference: Game/CollisionQuery.swift:1396-1438).
+    Interior runs in column form (see the section note above).
     """
-    up = jnp.zeros_like(center).at[..., 1].set(half_height)
-    a = center + up
-    b = center - up
+    cxp, cyp, czp = _cols(center)
+    ax, ay, az = cxp, cyp + half_height, czp
+    bx, by, bz = cxp, cyp - half_height, czp
+    v0x, v0y, v0z = _cols(v0)
+    v1x, v1y, v1z = _cols(v1)
+    v2x, v2y, v2z = _cols(v2)
 
-    hit, pierce = segment_triangle_intersect(a, b, v0, v1, v2)
+    # Moller-Trumbore segment pierce (d = b - a = (0, -2h, 0))
+    dx, dy, dz = ax - bx, ay - by, az - bz
+    dx, dy, dz = -dx, -dy, -dz
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) >= _EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvx, tvy, tvz = ax - v0x, ay - v0y, az - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & \
+        (t >= 0) & (t <= 1)
+    pix, piy, piz = ax + dx * t, ay + dy * t, az + dz * t
 
-    d0, p0 = closest_point_on_triangle(a, v0, v1, v2)
-    d1, p1 = closest_point_on_triangle(b, v0, v1, v2)
-    de0, s0, t0 = segment_segment_closest(a, b, v0, v1)
-    de1, s1, t1 = segment_segment_closest(a, b, v1, v2)
-    de2, s2, t2 = segment_segment_closest(a, b, v2, v0)
+    d0, p0x, p0y, p0z = _cpt_cols(ax, ay, az, v0x, v0y, v0z,
+                                  v1x, v1y, v1z, v2x, v2y, v2z)
+    d1, p1x, p1y, p1z = _cpt_cols(bx, by, bz, v0x, v0y, v0z,
+                                  v1x, v1y, v1z, v2x, v2y, v2z)
+    de0, s0x, s0y, s0z, t0x, t0y, t0z = _seg_seg_cols(
+        ax, ay, az, bx, by, bz, v0x, v0y, v0z, v1x, v1y, v1z)
+    de1, s1x, s1y, s1z, t1x, t1y, t1z = _seg_seg_cols(
+        ax, ay, az, bx, by, bz, v1x, v1y, v1z, v2x, v2y, v2z)
+    de2, s2x, s2y, s2z, t2x, t2y, t2z = _seg_seg_cols(
+        ax, ay, az, bx, by, bz, v2x, v2y, v2z, v0x, v0y, v0z)
 
-    # Nearest of the 5 feature candidates by a select chain: the
-    # argmin + take_along_axis form lowered to per-element gathers costing
-    # 74 ms/substep at 1024 agents (63% of the whole crowd substep);
-    # strict-< keeps the first minimum on ties exactly like argmin.
-    bd, bs, bt = d0, jnp.broadcast_to(a, p0.shape), p0
-    for dk, sk, tk in ((d1, jnp.broadcast_to(b, p1.shape), p1),
-                       (de0, s0, t0), (de1, s1, t1), (de2, s2, t2)):
+    # Nearest of the 5 feature candidates by a select chain (an argmin +
+    # take_along_axis form lowered to per-element gathers costing 74
+    # ms/substep at 1024 agents); strict-< keeps the first minimum on
+    # ties exactly like argmin.
+    z = jnp.zeros_like(d0)
+    bd = d0
+    bsx, bsy, bsz = ax + z, ay + z, az + z
+    btx, bty, btz = p0x, p0y, p0z
+    for dk, sxk, syk, szk, txk, tyk, tzk in (
+            (d1, bx + z, by + z, bz + z, p1x, p1y, p1z),
+            (de0, s0x, s0y, s0z, t0x, t0y, t0z),
+            (de1, s1x, s1y, s1z, t1x, t1y, t1z),
+            (de2, s2x, s2y, s2z, t2x, t2y, t2z)):
         win = dk < bd
         bd = jnp.where(win, dk, bd)
-        bs = jnp.where(win[..., None], sk, bs)
-        bt = jnp.where(win[..., None], tk, bt)
+        bsx = jnp.where(win, sxk, bsx)
+        bsy = jnp.where(win, syk, bsy)
+        bsz = jnp.where(win, szk, bsz)
+        btx = jnp.where(win, txk, btx)
+        bty = jnp.where(win, tyk, bty)
+        btz = jnp.where(win, tzk, btz)
 
     dist = jnp.sqrt(jnp.maximum(bd, 0.0))
     dist = jnp.where(hit, 0.0, dist)
-    seg_point = jnp.where(hit[..., None], pierce, bs)
-    tri_point = jnp.where(hit[..., None], pierce, bt)
+    seg_point = jnp.stack([jnp.where(hit, pix, bsx),
+                           jnp.where(hit, piy, bsy),
+                           jnp.where(hit, piz, bsz)], axis=-1)
+    tri_point = jnp.stack([jnp.where(hit, pix, btx),
+                           jnp.where(hit, piy, bty),
+                           jnp.where(hit, piz, btz)], axis=-1)
     return dist, seg_point, tri_point
 
 

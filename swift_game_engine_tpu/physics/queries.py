@@ -169,19 +169,29 @@ def _cast_select(soup, from_pos, delta, dir, toi, contact, iters,
     center = from_pos + dir * toi[..., None]
     dist, seg_p, tri_p = segment_triangle_distance(center, half_height,
                                                    soup.v0, soup.v1, soup.v2)
-    tn = soup.normal
-    axis = seg_p - tri_p
-    axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20)
-    pen_n = jnp.where(jnp.sum(tn * dir, axis=-1, keepdims=True) > 0, -tn, tn)
-    normal = jnp.where((dist < 1e-6)[..., None], pen_n, axis_n)
-    tri_n = jnp.where(jnp.sum(tn * normal, axis=-1, keepdims=True) < 0, -tn, tn)
+    # Column form for the normal/gate math ((T,3) elementwise ops waste
+    # 125/128 lanes; see primitives.py section note).
+    tnx, tny, tnz = soup.normal[:, 0], soup.normal[:, 1], soup.normal[:, 2]
+    axx = seg_p[..., 0] - tri_p[..., 0]
+    axy = seg_p[..., 1] - tri_p[..., 1]
+    axz = seg_p[..., 2] - tri_p[..., 2]
+    alen = jnp.maximum(jnp.sqrt(axx * axx + axy * axy + axz * axz), 1e-20)
+    dirx, diry, dirz = dir[..., 0], dir[..., 1], dir[..., 2]
+    tflip = jnp.where(tnx * dirx + tny * diry + tnz * dirz > 0, -1.0, 1.0)
+    is_pen = dist < 1e-6
+    nx = jnp.where(is_pen, tnx * tflip, axx / alen)
+    ny = jnp.where(is_pen, tny * tflip, axy / alen)
+    nz = jnp.where(is_pen, tnz * tflip, axz / alen)
+    nflip = jnp.where(tnx * nx + tny * ny + tnz * nz < 0, -1.0, 1.0)
+    tri_nx, tri_ny, tri_nz = tnx * nflip, tny * nflip, tnz * nflip
 
     ok = contact
     if blocking:
-        ok = ok & (jnp.sum(delta * normal, axis=-1) < 0) \
-                & (jnp.sum(delta * tri_n, axis=-1) < 0)
+        dlx, dly, dlz = delta[..., 0], delta[..., 1], delta[..., 2]
+        ok = ok & (dlx * nx + dly * ny + dlz * nz < 0) \
+                & (dlx * tri_nx + dly * tri_ny + dlz * tri_nz < 0)
     if min_normal_y is not None:
-        ok = ok & (tri_n[..., 1] >= min_normal_y)
+        ok = ok & (tri_ny >= min_normal_y)
 
     toi_masked = jnp.where(ok, toi, BIG)
     # Best-hit select WITHOUT argmin+indexing: under the per-agent vmap
@@ -199,15 +209,15 @@ def _cast_select(soup, from_pos, delta, dir, toi, contact, iters,
     def pick(x):
         return jnp.sum(jnp.where(sel, x, 0), axis=0)
 
-    def pick3(x):
-        return jnp.sum(jnp.where(sel[..., None], x, 0.0), axis=0)
+    def pick_vec(x, y, z):
+        return jnp.stack([pick(x), pick(y), pick(z)], axis=-1)
 
     return CapsuleCastHit(
         hit=best_ok,
         toi=jnp.where(best_ok, pick(toi), BIG),
-        normal=pick3(normal),
-        tri_normal=pick3(tri_n),
-        position=pick3(tri_p),
+        normal=pick_vec(nx, ny, nz),
+        tri_normal=pick_vec(tri_nx, tri_ny, tri_nz),
+        position=pick_vec(tri_p[..., 0], tri_p[..., 1], tri_p[..., 2]),
         tri_index=jnp.where(best_ok, pick(soup.tri_id), -1),
         mu_s=pick(soup.mu_s),
         mu_k=pick(soup.mu_k),
