@@ -7,6 +7,21 @@ Usage: python examples/prof_r3b.py [WxH] [reps] [config ...]
 import sys
 import time
 
+_OVERHEAD = [None]
+
+
+def _overhead():
+    if _OVERHEAD[0] is None:
+        import jax
+        import jax.numpy as jnp
+        noop = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(noop(jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.block_until_ready(noop(jnp.float32(0.0)))
+        _OVERHEAD[0] = (time.perf_counter() - t0) / 10
+    return _OVERHEAD[0]
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,7 +85,10 @@ def main():
             for r in range(2):
                 t0 = time.perf_counter()
                 acc = jax.block_until_ready(frames(cpos + 1e-5 * (r + 1)))
-                ds.append((time.perf_counter() - t0 - 0.027) / reps)
+                # dispatch overhead measured, not assumed (ADVICE r3);
+                # clamped at 0 so small configs can't go negative
+                ds.append(max(time.perf_counter() - t0 - _overhead(), 0.0)
+                          / reps)
             dt = min(ds)
             print(f"{name}: {ds[0]*1e3:.1f} / {ds[1]*1e3:.1f} ms/frame "
                   f"({1.0/dt:.2f} fps best) acc={float(acc):.6f}",
@@ -84,10 +102,12 @@ def main():
             for k, v in saved_cs.items():
                 setattr(CS, k, v)
 
-    # defaults now: scan compaction + unlit split, trace visibility
-    run("base")
-    run("sortc", rt_extra={"_COMPACT_ORDER": "sort"})
-    run("nosplit", rt_extra={"_UNLIT_SPLIT": False})
+    # round-3 A/B matrix; 'base' pins the knobs explicitly so the
+    # configs differ regardless of the module defaults
+    run("base", rt_extra={"_COMPACT_ORDER": "scan", "_UNLIT_SPLIT": True})
+    run("sortc", rt_extra={"_COMPACT_ORDER": "sort", "_UNLIT_SPLIT": True})
+    run("nosplit", rt_extra={"_COMPACT_ORDER": "scan",
+                             "_UNLIT_SPLIT": False})
     run("peels", rt_extra={"_RT_PRIMARY": "peels"})
     run("peels_tuned", rt_extra={"_RT_PRIMARY": "peels",
                                  "_RASTER_LISTS": True,

@@ -9,6 +9,21 @@ Usage: python examples/prof_shade_parts.py [WxH] [reps] [section ...]
 import sys
 import time
 
+_OVERHEAD = [None]
+
+
+def _overhead():
+    if _OVERHEAD[0] is None:
+        import jax
+        import jax.numpy as jnp
+        noop = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(noop(jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.block_until_ready(noop(jnp.float32(0.0)))
+        _OVERHEAD[0] = (time.perf_counter() - t0) / 10
+    return _OVERHEAD[0]
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,7 +83,10 @@ def main():
             for r in range(2):
                 t0 = time.perf_counter()
                 acc = jax.block_until_ready(frames(cpos + 1e-5 * (r + 1)))
-                ds.append((time.perf_counter() - t0 - 0.027) / reps)
+                # dispatch overhead measured, not assumed (ADVICE r3);
+                # clamped at 0 so small configs can't go negative
+                ds.append(max(time.perf_counter() - t0 - _overhead(), 0.0)
+                          / reps)
             dt = min(ds)
             print(f"{name}: {ds[0]*1e3:.1f} / {ds[1]*1e3:.1f} ms/frame "
                   f"acc={float(acc):.6f}", flush=True)
