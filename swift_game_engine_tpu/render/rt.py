@@ -251,7 +251,9 @@ _LBATCH = knob("SGE_RT_LBATCH")
 # mask build + second compacted pass cost more than the batched chunk
 # loop saves — the unlit fast path inside the chunk body (dead shadow
 # packets, gated BRDF) already absorbs most of the win. Default OFF.
-_UNLIT_SPLIT = bool(knob("SGE_RT_UNLIT_SPLIT"))
+# Gated on _UNLIT_FAST (ADVICE r3): the split's cheap path equals the full
+# shade only when unlit materials take the unlit branch there.
+_UNLIT_SPLIT = bool(knob("SGE_RT_UNLIT_SPLIT")) and _UNLIT_FAST
 # Timing-only attribution knobs (examples/prof_shade_parts.py): knock out
 # one shade sub-part each. WRONG output — never enabled in production.
 _PROF_SHADOW_OFF = bool(knob("SGE_PROF_SHADOW_OFF"))
