@@ -142,7 +142,11 @@ def main():
                 rx=(kb.held("RIGHT") - kb.held("LEFT")) * 1.0,
                 ry=(kb.held("UP") - kb.held("DOWN")) * 1.0,
                 jump=kb.edge("SPACE"),
-                dodge=kb.edge("x"))
+                dodge=kb.edge("x"),
+                # +/- drive the exposure axis (InputSystem.exposureDelta):
+                # integrated as exposure += delta * dt, clamped [0.1, 2.0]
+                exposure_delta=(kb.held("=") or kb.held("+")) * 1.0
+                - kb.held("-") * 1.0)
             now = time.time()
             dt, last = now - last, now
             u8 = np.asarray(eng.frame(dt, pad))
@@ -151,7 +155,8 @@ def main():
             ema = inst if ema is None else 0.9 * ema + 0.1 * inst
             sys.stdout.write(ansi_frame(u8))
             sys.stdout.write(f"\x1b[0m\n{ema:5.1f} fps   wasd move, arrows look, "
-                             f"space jump, x dodge, r run[{'on' if run_mode else 'off'}], q quit  ")
+                             f"space jump, x dodge, r run[{'on' if run_mode else 'off'}], "
+                             f"+/- exposure[{eng.tone_mapping_exposure:.2f}], q quit  ")
             sys.stdout.flush()
     finally:
         kb.restore()

@@ -1146,6 +1146,21 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
     return jnp.stack([cr, cg, cb], axis=-1)
 
 
+def refraction_setup(d, n, ior):
+    """Dense refraction precompute (RayTracing.metalinc:546-556): Fresnel
+    eta flip for rays hitting a back-facing shading normal (cosi < 0 ->
+    medium exit, eta = ior), Snell refract, TIR gate via |T|. Returns
+    (t_dir (unnormalized; zero on TIR), t_len, eta)."""
+    view = normalize(-d)
+    cosi = jnp.sum(n * view, axis=-1)
+    flip = cosi < 0
+    n_r = jnp.where(flip[..., None], -n, n)
+    eta = jnp.where(flip, ior, 1.0 / ior)
+    t_dir = refract(-view, n_r, eta)
+    t_len = jnp.linalg.norm(t_dir, axis=-1)
+    return t_dir, t_len, eta
+
+
 def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
                      transmission, ior, found, color, shadow_layers, usage,
                      shadow_rows=None, shadow_clusters=None):
@@ -1155,12 +1170,7 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
     bounce trace + shade are chunked."""
     p = found.shape[0]
     view = normalize(-d)
-    cosi = jnp.sum(n * view, axis=-1)
-    flip = cosi < 0
-    n_r = jnp.where(flip[..., None], -n, n)
-    eta = jnp.where(flip, ior, 1.0 / ior)
-    t_dir = refract(-view, n_r, eta)
-    t_len = jnp.linalg.norm(t_dir, axis=-1)
+    t_dir, t_len, _eta = refraction_setup(d, n, ior)
     has_t = found & (transmission > 0.001) & (t_len > 0)
 
     def body(idx, valid, carry):

@@ -76,7 +76,18 @@ class Engine:
         self.ibl = IBL.build()
         self.overlay = FPSOverlay()
         self.accumulator = 0.0
+        # TimeComponent bookkeeping (Components.swift:512-534 /
+        # TimeSystem, Systems.swift:24-49): `time` advances by dt *
+        # time_scale, `unscaled_time` by raw dt; the fixed-step
+        # accumulator consumes SCALED time (FixedStepRunner,
+        # Systems.swift:65-93), so time_scale=0 freezes simulation while
+        # input/camera/overlay — driven by unscaled dt — keep animating.
         self.time = 0.0
+        self.unscaled_time = 0.0
+        self.time_scale = 1.0
+        self.delta_time = 0.0
+        self.unscaled_delta_time = 0.0
+        self.frame_index = 0
         self.tone_mapping_enabled = True
         self.tone_mapping_exposure = 1.0
 
@@ -219,6 +230,26 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _advance_time(self, dt: float) -> float:
+        """TimeSystem.update (Systems.swift:24-49): returns the SCALED dt
+        that feeds the fixed-step accumulator."""
+        sdt = dt * self.time_scale
+        self.unscaled_delta_time = dt
+        self.delta_time = sdt
+        self.unscaled_time += dt
+        self.time += sdt
+        self.frame_index += 1
+        return sdt
+
+    def _apply_exposure_input(self, dt: float):
+        """DemoScene.swift:700-703: integrate the pad's exposure axis into
+        toneMappingExposure, clamped [0.1, 2.0]. Uses UNSCALED dt — the
+        reference applies it before the fixed runner, from real frame dt."""
+        delta = self.input.exposure_delta
+        if delta:
+            self.tone_mapping_exposure = min(
+                max(self.tone_mapping_exposure + delta * dt, 0.1), 2.0)
+
     def _player_intent(self, pad: InputFrame, dt: float):
         """One jitted state update per frame.
 
@@ -261,10 +292,11 @@ class Engine:
     def update(self, dt: float, pad: Optional[InputFrame] = None):
         """Simulation update: time, input, fixed substeps, chase camera."""
         dt = min(max(dt, 0.0), 0.1)  # Renderer.swift:161-163
-        self.time += dt
+        sdt = self._advance_time(dt)
         self._player_intent(pad or InputFrame(), dt)
+        self._apply_exposure_input(dt)
 
-        self.accumulator += dt
+        self.accumulator += sdt
         steps = 0
         while self.accumulator >= FIXED_DT and steps < MAX_SUBSTEPS:
             self.state = self.stepper.substep(self.state, FIXED_DT)
@@ -329,12 +361,13 @@ class Engine:
                               float(mv["run_threshold"][e]))
             self._dodge_active = False
         dt = min(max(dt, 0.0), 0.1)  # Renderer.swift:161-163
-        self.time += dt
+        sdt = self._advance_time(dt)
         walk, run, thresh = self._mv_cache
         intent = self.input.update(pad or InputFrame(), dt,
                                    self._dodge_active, walk, run, thresh)
+        self._apply_exposure_input(dt)
 
-        self.accumulator += dt
+        self.accumulator += sdt
         n = 0
         while self.accumulator >= FIXED_DT and n < MAX_SUBSTEPS:
             self.accumulator -= FIXED_DT

@@ -34,6 +34,10 @@ class InputFrame:
     ry: float = 0.0
     jump: bool = False
     dodge: bool = False
+    # Exposure adjust axis in [-1, 1] (InputSystem.swift:24 exposureDelta):
+    # the engine integrates it as exposure += delta * dt, clamped to
+    # [0.1, 2.0] exactly like DemoScene.swift:700-703.
+    exposure_delta: float = 0.0
 
 
 @dataclass
@@ -49,6 +53,7 @@ class InputSystem:
     yaw: float = 0.0
     pitch: float = -0.1
     facing_yaw: float = 0.0
+    exposure_delta: float = 0.0
     _last_jump: bool = False
     _last_dodge: bool = False
 
@@ -72,6 +77,9 @@ class InputSystem:
         ly = self._axis(pad.ly)
         rx = self._axis(-pad.rx)
         ry = self._axis(-pad.ry)
+        # Published like the reference's read-only exposureDelta property;
+        # the engine consumes it once per frame (DemoScene.swift:700-703).
+        self.exposure_delta = float(pad.exposure_delta)
 
         self.yaw = self._wrap(self.yaw + rx * self.look_speed * dt)
         self.pitch = float(np.clip(self.pitch + ry * self.look_speed * dt,

@@ -33,3 +33,15 @@ jax.config.update("jax_default_matmul_precision", "float32")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fast: quick iteration subset (`pytest -m fast`, < 5 min): "
+        "math/pose/queries/assets oracles — no Pallas interpret mode, no "
+        "subprocess fan-out, no full-scene builds")
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (subprocess renders, soak runs); "
+        "excluded from -m fast by definition")
