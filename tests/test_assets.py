@@ -8,8 +8,11 @@ import pytest
 from swift_game_engine_tpu.assets import nputil
 from swift_game_engine_tpu.assets.skeleton import load_skeleton, build_skeleton
 from swift_game_engine_tpu.assets.motion_profile import (
+
     load_motion_profile, pack_profile, evaluate_fourier, fourier_basis_np,
 )
+
+pytestmark = pytest.mark.fast
 
 REF = "/root/reference/Game"
 YBOT = os.path.join(REF, "YBot.skeleton.json")

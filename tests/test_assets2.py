@@ -10,6 +10,8 @@ from swift_game_engine_tpu.assets.static_mesh import load_static_mesh
 from swift_game_engine_tpu.assets.skeleton import load_skeleton
 from swift_game_engine_tpu.assets.mesh_api import compute_tangents
 
+pytestmark = pytest.mark.fast
+
 REF = "/root/reference/Game"
 
 

@@ -15,6 +15,9 @@ from swift_game_engine_tpu.physics.collision_world import (
     CollisionWorldBuilder, transform_soup)
 from swift_game_engine_tpu.physics import character as C
 from swift_game_engine_tpu.physics import queries as Q
+import pytest
+
+pytestmark = pytest.mark.fast
 
 DT = 1.0 / 60.0
 GRAVITY = jnp.array([0.0, -98.0, 0.0])

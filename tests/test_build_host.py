@@ -13,6 +13,9 @@ import ast
 import pathlib
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.fast
 
 PKG = pathlib.Path(__file__).resolve().parent.parent / "swift_game_engine_tpu"
 

@@ -8,6 +8,8 @@ import pytest
 from swift_game_engine_tpu.render import bvh as B
 from swift_game_engine_tpu.assets import procedural_meshes as pm
 
+pytestmark = pytest.mark.fast
+
 
 def random_soup(rng, n_tris=200, spread=10.0):
     base = rng.uniform(-spread, spread, (n_tris, 1, 3))

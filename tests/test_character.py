@@ -14,6 +14,8 @@ from swift_game_engine_tpu.assets import procedural_meshes as pm
 from swift_game_engine_tpu.physics.collision_world import CollisionWorldBuilder, transform_soup
 from swift_game_engine_tpu.physics import character as C
 
+pytestmark = pytest.mark.fast
+
 DT = 1.0 / 60.0
 GRAVITY = jnp.array([0.0, -98.0, 0.0])
 

@@ -18,11 +18,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 import fit_motion as FM  # noqa: E402
 
 from swift_game_engine_tpu.assets.motion_profile import (  # noqa: E402
+
     load_motion_profile, evaluate_fourier)
 
 TIME_SCALE = 46186158000.0
 REF_SKEL = "/root/reference/Game/YBot.skeleton.json"
 
+
+pytestmark = pytest.mark.fast
 
 def make_ascii_fbx(bones, duration=1.0, n_keys=61):
     """bones: {name: {channel: {axis: fn(t)->value}}}."""

@@ -15,6 +15,8 @@ from swift_game_engine_tpu.physics.collision_world import (CollisionWorldBuilder
 from swift_game_engine_tpu.physics import queries as Q
 from swift_game_engine_tpu.scene.step import Stepper, _trs_matrices
 
+pytestmark = pytest.mark.fast
+
 DT = 1.0 / 60.0
 
 

@@ -4,6 +4,8 @@ import pytest
 
 from swift_game_engine_tpu import math3d as m3
 
+pytestmark = pytest.mark.fast
+
 
 def rand_rotation(rng):
     axis = rng.standard_normal(3)

@@ -16,6 +16,8 @@ from swift_game_engine_tpu.render.composite import FPSOverlay
 from swift_game_engine_tpu.render.shading import tone_map_aces
 from swift_game_engine_tpu.scene.input import InputSystem, InputFrame
 
+pytestmark = pytest.mark.fast
+
 
 # --- skinning ---
 

@@ -11,6 +11,8 @@ from swift_game_engine_tpu.anim import pose as P
 
 import oracle_pose as O
 
+pytestmark = pytest.mark.fast
+
 REF = "/root/reference/Game"
 
 

@@ -12,6 +12,8 @@ from swift_game_engine_tpu.assets import nputil
 
 import oracle_pose as O
 
+pytestmark = pytest.mark.fast
+
 REF = "/root/reference/Game"
 
 

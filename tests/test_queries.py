@@ -10,6 +10,8 @@ from swift_game_engine_tpu.assets import procedural_meshes as pm
 
 import oracle_collision as O
 
+pytestmark = pytest.mark.fast
+
 
 def build_soup(meshes):
     """meshes: list of (MeshDescriptor, kwargs)."""

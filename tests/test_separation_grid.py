@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 from swift_game_engine_tpu.physics import separation as S
 from swift_game_engine_tpu.physics.character import ControllerParams
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _params(n, rng):

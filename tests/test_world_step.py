@@ -11,6 +11,8 @@ from swift_game_engine_tpu.ecs.world import (WorldBuilder, BODY_STATIC,
 from swift_game_engine_tpu.physics.collision_world import CollisionWorldBuilder
 from swift_game_engine_tpu.scene.step import Stepper
 
+pytestmark = pytest.mark.fast
+
 DT = 1.0 / 60.0
 
 
