@@ -29,6 +29,7 @@ class RenderConfig:
     SGE_RASTER_CLUSTER: int = 128
     SGE_RASTER_CLUSTER_RT: int = 0       # 0 = module default
     SGE_RASTER_TRANS_CLUSTER: int = 16   # translucent subset (big hulls)
+    SGE_RASTER_TRANS_SUBDIV: int = 2     # hull midpoint-subdiv levels
     SGE_RASTER_TILE_H: int = 0           # 0 = 32 (the lane-order tile height)
     SGE_RASTER_LISTS: int = 0
     SGE_RASTER_UNROLL: int = 8
@@ -50,6 +51,7 @@ class RenderConfig:
     SGE_SHADOW_CLUSTER_MIN_LANES: int = 100000
 
     # --- shading / compaction ----------------------------------------------
+    SGE_RT_DEFERRED: int = 1             # merged deferred shade (round 5)
     SGE_RT_LBATCH: int = 2               # batched continuation layers
     SGE_RT_CHUNK: int = 131072
     SGE_RT_CHUNK_SMALL: int = 8192

@@ -139,7 +139,16 @@ def _grid_candidate_rows(position, velocity, params, inv_w, solid,
     offs = jnp.array([dxc * 1 for dxc in range(-1, 2)], jnp.int32)
     # 9 neighbor cell keys per agent
     nk = key[:, None] + (offs[:, None] * width + offs[None, :]).reshape(-1)[None, :]
-    start = jnp.searchsorted(key_sorted, nk)                      # (N, 9)
+    # searchsorted-left == count of keys below the query. The explicit
+    # comparison-count is pure vector compare+reduce (N*9*N lanes — ~9.4M
+    # at 1024 agents), while jnp.searchsorted lowers to a binary-search
+    # loop of per-element gathers (the round-4 crowd residual, VERDICT r4
+    # next #4). Above the quadratic cutoff the gather loop wins again.
+    if n <= 4096:
+        start = jnp.sum(key_sorted[None, None, :] < nk[:, :, None],
+                        axis=-1).astype(jnp.int32)                # (N, 9)
+    else:
+        start = jnp.searchsorted(key_sorted, nk)                  # (N, 9)
     win = start[..., None] + jnp.arange(_CELL_CAP)[None, None, :]  # (N,9,CAP)
     win_c = jnp.minimum(win, n - 1)
     same_cell = key_sorted[win_c] == nk[..., None]

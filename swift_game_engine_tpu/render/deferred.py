@@ -1,0 +1,300 @@
+"""Merged deferred shading: ONE shadow sweep + ONE bounce trace + ONE
+light pass per frame (round 5).
+
+The round-4 frame instantiated the shade/shadow machinery ~5x per frame:
+the dense L1 shade (own shadow sweep ~17.6 ms), the batched L2+
+continuation chunk loop (~48 ms incl. its own sweep + nested bounce
+chunks), and the L1 mirror/refraction chunks (~17 ms, each tracing AND
+shading AND sweeping inside the chunk body). STATUS r4's budget showed
+the remaining frame cost was pass COUNT, not kernel speed.
+
+Here every piece of machinery runs exactly once over a merged record
+stream:
+
+  1. record alphas + the transparency chain run as an elementwise
+     precompute (a record's alpha needs no lighting), yielding the chain
+     weights and the exact set of records that need shading
+  2. ONE chunk-compacted G-buffer pass over the live layer records
+     (rt._gbuffer: shading normal incl. normal maps + sampled material)
+  3. bounce setup is dense vector math (reflect / refraction_setup);
+     the mirror and refraction rays of ALL layers merge into one stream
+     traced by ONE chunk-compacted trace loop
+  4. ONE G-buffer pass over the bounce hits
+  5. ONE shadow sweep over every shadow origin in the frame (layer
+     records ++ mirror hits ++ refraction hits) — rt._shadow_factor on
+     the concatenated stream, so the cluster sweep / walk kernel is
+     instantiated once
+  6. ONE elementwise light pass (rt._light_records; split-sum IBL only
+     for the layer records, exactly the with_ibl_spec split)
+  7. bounce colors fold into their parents by the same Fresnel mixes as
+     rt._mirror_pass/_refraction_pass — linear in the deferred colors
+  8. the transparency chain composites with the precomputed weights
+
+The per-record math is IDENTICAL to the sequential path (same _gbuffer,
+same gates, same shadow record semantics, same fold algebra), so images
+match the round-4 pipeline bit-for-bit modulo float reassociation.
+
+reference: Game/RayTracing.metalinc:197-730 — the bounces re-shade hits
+of the same material model (382-542 mirror, 544-713 refraction) under
+the same single shadow-casting directional light (332-372), which is
+what makes one merged sweep exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..math3d import normalize
+from .ibl import eval_env_sh
+from .shading import (fresnel_schlick, fresnel_schlick3, reflect,
+                      shadow_bias)
+from . import rt as RT
+
+
+def _tile(a, k):
+    """(p, ...) -> (k*p, ...) repeat along a new leading axis, flattened."""
+    return jnp.broadcast_to(a[None], (k,) + a.shape).reshape(
+        (k * a.shape[0],) + a.shape[1:])
+
+
+class _GBuf:
+    """Dense per-record G-buffer: channel-split 1-D arrays (an (N,3)
+    while-loop carry gets a dim0-minor layout whose row scatter rewrites
+    the whole buffer per chunk — see rt.shade_layers_batched's note)."""
+
+    FIELDS = ("nx", "ny", "nz", "hx", "hy", "hz", "br", "bg", "bb",
+              "er", "eg", "eb", "alpha", "metallic", "roughness",
+              "occlusion", "transmission", "ior", "unlit", "bias")
+
+    def __init__(self, n):
+        z = jnp.zeros(n, jnp.float32)
+        for f in self.FIELDS:
+            setattr(self, f, z)
+        self.ior = jnp.ones(n, jnp.float32)
+
+    def tuple(self):
+        return tuple(getattr(self, f) for f in self.FIELDS)
+
+    def untuple(self, t):
+        for f, v in zip(self.FIELDS, t):
+            setattr(self, f, v)
+        return self
+
+    # -- dense views consumed by the light pass / folds ------------------
+    @property
+    def n(self):
+        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
+
+    @property
+    def hit_pos(self):
+        return jnp.stack([self.hx, self.hy, self.hz], axis=-1)
+
+    @property
+    def base(self):
+        return jnp.stack([self.br, self.bg, self.bb], axis=-1)
+
+    @property
+    def emissive(self):
+        return jnp.stack([self.er, self.eg, self.eb], axis=-1)
+
+    def material(self):
+        """The rt._sample_material dict shape expected by _light_records."""
+        return dict(base=self.base, alpha=self.alpha, metallic=self.metallic,
+                    roughness=self.roughness, emissive=self.emissive,
+                    occlusion=self.occlusion, transmission=self.transmission,
+                    ior=self.ior, unlit=self.unlit > 0.5)
+
+
+def _gbuffer_pass(geo, fg, usage, o_arr, d_arr, t_s, tri_s, u_s, v_s, mask):
+    """ONE chunk-compacted pass filling a dense _GBuf for the set lanes of
+    ``mask``. Gathers (shade rows, material rows, sparse taps, chunked
+    normal maps) scale with the LIVE record count, not the buffer size."""
+    nrec = mask.shape[0]
+    g = _GBuf(nrec)
+
+    def body(idx, valid, carry):
+        safe = jnp.minimum(idx, nrec - 1)
+        oc = o_arr[safe]
+        dc = d_arr[safe]
+        tc = jnp.where(valid, t_s[safe], 1.0)
+        tric = jnp.where(valid, tri_s[safe], -1)
+        uc, vc = u_s[safe], v_s[safe]
+        m, n, hpos, bs = RT._gbuffer(geo, fg, oc, dc, tc, tric, uc, vc,
+                                     valid, usage)
+        vals = (n[:, 0], n[:, 1], n[:, 2], hpos[:, 0], hpos[:, 1],
+                hpos[:, 2], m["base"][:, 0], m["base"][:, 1],
+                m["base"][:, 2], m["emissive"][:, 0], m["emissive"][:, 1],
+                m["emissive"][:, 2], m["alpha"], m["metallic"],
+                m["roughness"], m["occlusion"], m["transmission"], m["ior"],
+                m["unlit"].astype(jnp.float32), bs)
+        return tuple(c.at[idx].set(v) for c, v in zip(carry, vals))
+
+    return g.untuple(RT._chunked(mask, body, g.tuple(), cap=RT._CHUNK))
+
+
+def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
+                   shadow_layers: int, enable_mirror: bool,
+                   enable_refraction: bool, usage,
+                   shadow_rows=None, shadow_clusters=None):
+    """Deferred frame shade over per-layer hit records -> (p, 3) colors.
+
+    ``recs``: [(t, tri, u, v, found)] per layer, dense (p,) each, with
+    CONCRETE u/v (the hybrid visibility records; rt._render_rays keeps
+    the sequential path for record sources without barycentrics)."""
+    p = ray_o.shape[0]
+    L = len(recs)
+    R = L * p
+    cam = jnp.asarray(cam_pos, jnp.float32)
+    if RT._PROF_NO_BOUNCE:
+        enable_mirror = enable_refraction = False
+
+    # ---- 1. record alphas + transparency chain (elementwise) ----------
+    t_s = jnp.stack([r[0] for r in recs]).reshape(-1)
+    tri_s = jnp.stack([r[1] for r in recs]).reshape(-1)
+    u_s = jnp.stack([r[2] for r in recs]).reshape(-1)
+    v_s = jnp.stack([r[3] for r in recs]).reshape(-1)
+
+    live = jnp.ones(p, bool)
+    accum_a = jnp.zeros(p)
+    contribs = []
+    shade_m = []
+    for li in range(L):
+        t_l, tri_l, u_l, v_l, f_l = recs[li]
+        a_l = RT._sample_alpha(geo, tri_l, u_l, v_l, usage)
+        live = live & f_l & (accum_a < 0.99)
+        c_l = jnp.where(live, a_l * (1.0 - accum_a), 0.0)
+        contribs.append(c_l)
+        shade_m.append(live)
+        accum_a = accum_a + c_l
+    shade_flat = jnp.concatenate(shade_m)
+    accum_alpha = accum_a
+
+    # ---- 2. layer-record G-buffer -------------------------------------
+    o_rec = _tile(ray_o, L)
+    d_rec = _tile(ray_d, L)
+    gl = _gbuffer_pass(geo, fg, usage, o_rec, d_rec, t_s, tri_s, u_s, v_s,
+                       shade_flat)
+    n_l = gl.n
+    hp_l = gl.hit_pos
+    m_l = gl.material()
+
+    # ---- 3. bounce setup + ONE merged trace loop ----------------------
+    have_bounce = enable_mirror or enable_refraction
+    if enable_mirror:
+        mirror_m = shade_flat & (m_l["roughness"] <= 0.08) & \
+            (m_l["metallic"] >= 0.8)
+        r_dir = normalize(reflect(d_rec, n_l))
+        o_mir = hp_l + n_l * gl.bias[..., None]
+    if enable_refraction:
+        t_dir, t_len, _eta = RT.refraction_setup(d_rec, n_l, m_l["ior"])
+        t_dir_n = t_dir / jnp.maximum(t_len[..., None], 1e-20)
+        refr_m = shade_flat & (m_l["transmission"] > 0.001) & (t_len > 0)
+        o_ref = hp_l + t_dir * gl.bias[..., None]
+
+    if have_bounce:
+        segs_o, segs_d, segs_m = [], [], []
+        if enable_mirror:
+            segs_o.append(o_mir)
+            segs_d.append(r_dir)
+            segs_m.append(mirror_m)
+        if enable_refraction:
+            segs_o.append(o_ref)
+            segs_d.append(t_dir_n)
+            segs_m.append(refr_m)
+        o_b = jnp.concatenate(segs_o)
+        d_b = jnp.concatenate(segs_d)
+        mask_b = jnp.concatenate(segs_m)
+        nb = o_b.shape[0]
+
+        bt = jnp.ones(nb)
+        btri = jnp.full(nb, -1, jnp.int32)
+        bu = jnp.zeros(nb)
+        bv = jnp.zeros(nb)
+        bfound = jnp.zeros(nb, bool)
+
+        def trace_body(idx, valid, carry):
+            bt, btri, bu, bv, bfound = carry
+            safe = jnp.minimum(idx, nb - 1)
+            ob = jnp.where(valid[:, None], o_b[safe], 1.0e9)
+            db = d_b[safe]
+            t, tri, u, v, found = RT._trace_batch(fg.bvh, ob, db, valid)
+            return (bt.at[idx].set(jnp.where(found, t, 1.0)),
+                    btri.at[idx].set(tri), bu.at[idx].set(u),
+                    bv.at[idx].set(v), bfound.at[idx].set(found & valid))
+
+        bt, btri, bu, bv, bfound = RT._chunked(
+            mask_b, trace_body, (bt, btri, bu, bv, bfound), cap=RT._CHUNK)
+
+        # ---- 4. bounce-hit G-buffer -----------------------------------
+        gb = _gbuffer_pass(geo, fg, usage, o_b, d_b, bt, btri, bu, bv,
+                           bfound)
+        n_b = gb.n
+        hp_b = gb.hit_pos
+        m_b = gb.material()
+
+    # ---- 5. ONE shadow sweep over every origin ------------------------
+    gate_l, _, max_d0, _ = RT._light_gate(lights, 0, m_l, n_l, hp_l, cam,
+                                          shade_flat)
+    if have_bounce:
+        gate_b, _, _, _ = RT._light_gate(lights, 0, m_b, n_b, hp_b, cam,
+                                         bfound)
+        hp_all = jnp.concatenate([hp_l, hp_b])
+        n_all = jnp.concatenate([n_l, n_b])
+        bias_all = jnp.concatenate([gl.bias, gb.bias])
+        gate_all = jnp.concatenate([gate_l, gate_b])
+    else:
+        hp_all, n_all, bias_all, gate_all = hp_l, n_l, gl.bias, gate_l
+    shadow_all = RT._shadow_factor(
+        geo, fg, hp_all, n_all, lights.direction[0], max_d0, bias_all,
+        gate_all, shadow_layers, usage, shadow_rows=shadow_rows,
+        shadow_clusters=shadow_clusters, sort=True)
+
+    # ---- 6. ONE light pass --------------------------------------------
+    color_l = RT._light_records(ibl, lights, cam, d_rec, m_l, n_l, hp_l,
+                                shade_flat, True, shadow0=shadow_all[:R])
+    if have_bounce:
+        color_b = RT._light_records(ibl, lights, cam, d_b, m_b, n_b, hp_b,
+                                    bfound, False, shadow0=shadow_all[R:])
+
+    # ---- 7. fold bounce colors into their parents ---------------------
+    view = normalize(-d_rec)
+    off = 0
+    if enable_mirror:
+        mfound = bfound[off:off + R]
+        mcol = color_b[off:off + R]
+        malpha = m_b["alpha"][off:off + R]
+        off += R
+        refl_a = jnp.where(mfound, malpha, 0.0)
+        refl = jnp.where(mfound[..., None], mcol * refl_a[..., None], 0.0) \
+            + RT.BG_COLOR * (1.0 - refl_a)[..., None]
+        nov = jnp.clip(jnp.sum(n_l * view, axis=-1), 0.0, 1.0)
+        met = m_l["metallic"]
+        f0 = 0.04 * (1.0 - met[..., None]) + m_l["base"] * met[..., None]
+        f = fresnel_schlick3(nov, f0)
+        color_l = jnp.where(mirror_m[..., None],
+                            color_l * (1.0 - f) + refl * f, color_l)
+    if enable_refraction:
+        ffound = bfound[off:off + R]
+        fcol = color_b[off:off + R]
+        falpha = m_b["alpha"][off:off + R]
+        refr_a = jnp.where(ffound, falpha, 0.0)
+        refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * \
+            RT.AMBIENT_INTENSITY
+        refr = jnp.where(ffound[..., None], fcol * refr_a[..., None], 0.0) \
+            + refr_bg * (1.0 - refr_a)[..., None]
+        f_s = fresnel_schlick(jnp.clip(jnp.sum(n_l * view, axis=-1),
+                                       0.0, 1.0), jnp.float32(0.04))[..., None]
+        trans_color = refr * m_l["base"]
+        mix = trans_color * (1.0 - f_s) + color_l * f_s
+        color_l = jnp.where(refr_m[..., None],
+                            color_l + (mix - color_l) *
+                            m_l["transmission"][..., None], color_l)
+
+    # ---- 8. transparency chain composite ------------------------------
+    colors = color_l.reshape(L, p, 3)
+    accum = jnp.zeros((p, 3))
+    for li in range(L):
+        accum = accum + colors[li] * contribs[li][..., None]
+    return accum + RT.BG_COLOR * (1.0 - accum_alpha)[..., None]

@@ -241,6 +241,11 @@ _COMPACT_ORDER = knob("SGE_RT_COMPACT_ORDER")
 #       (the two extra dense shadow sweeps outweigh the chunk machinery)
 #       — kept as an option; 2 stays the default.
 _LBATCH = knob("SGE_RT_LBATCH")
+# Merged deferred shading (round 5, render.deferred): the hybrid path's
+# per-layer records + ALL bounce records shade through ONE G-buffer pass,
+# ONE merged bounce-trace loop, ONE shadow sweep and ONE light pass —
+# the round-4 frame instantiated that machinery ~5x (VERDICT r4 next #1).
+_DEFERRED = bool(knob("SGE_RT_DEFERRED"))
 # Simple-unlit record split for batched layer shading: records whose
 # material is unlit with NO bound textures, no transmission and no mirror
 # eligibility (all static per material) shade as packed-row gathers —
@@ -269,6 +274,15 @@ _RASTER_CLUSTER = knob("SGE_RASTER_CLUSTER_RT")
 # translucent set is a few thousand hull triangles with LARGE screen
 # footprints, so small clusters (tight AABBs) dominate the raster's cost.
 _RASTER_TRANS_CLUSTER = knob("SGE_RASTER_TRANS_CLUSTER")
+# Midpoint-subdivision depth for the translucent-subset raster (round 5,
+# VERDICT r4 next #3): hull triangles are world-HUGE, so their (cluster)
+# AABBs bin into nearly every tile and 4.2k triangles cost ~16 ms. Each
+# level splits every triangle into 4 coplanar children (same winding,
+# parent ids), bounding per-tile candidate work by triangle area. EXACT
+# whenever the translucent set's materials bind no textures (see
+# _trans_subdiv_ok): sub-triangle barycentrics feed only texture taps, and
+# t/normal/material derive from the shared plane + parent id.
+_TRANS_SUBDIV = knob("SGE_RASTER_TRANS_SUBDIV")
 
 
 def _chunked_trace(mask, body, carry, cap_lanes):
@@ -666,12 +680,18 @@ def _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids, active,
 
 def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                    bias, active, shadow_layers: int, usage=None,
-                   shadow_rows=None, shadow_clusters=None):
+                   shadow_rows=None, shadow_clusters=None, sort=None):
     """Alpha-filtered shadow ray toward a directional light
-    (RayTracing.metalinc:332-372)."""
+    (RayTracing.metalinc:332-372).
+
+    ``sort``: override the _SHADOW_SORT knob (the deferred pipeline's
+    merged origin stream is mostly-dead + scattered, where the light-space
+    Morton order is load-bearing: live lanes pack into tight packets and
+    dead lanes park into instantly-exiting dead packets)."""
     l = normalize(-light_dir)
     if usage is None:
         usage = FULL_USAGE
+    use_sort = _SHADOW_SORT if sort is None else sort
 
     o0 = hit_pos + n * bias[..., None]
 
@@ -705,7 +725,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
         # (both derive it from the static usage tuple).
         ap = _SHADOW_ALPHA and not (usage.base and usage.alpha_tex)
         if isinstance(shadow_clusters, ShadowSplit):
-            if _SHADOW_SORT:
+            if use_sort:
                 # light-space Morton order: tightens packet footprints for
                 # scattered origin sets (chunk-compacted continuation
                 # records span the whole screen); records are per-lane, so
@@ -729,7 +749,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
             return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
                                          active, max_dist, shadow_layers,
                                          usage, alpha_payload=ap)
-        if _SHADOW_SORT:
+        if use_sort:
             order = _light_morton_order(shadow_clusters.basis, o_sh, t_lim)
             t_opq_s, ts_s, ids_s = trace_shadow_clusters(
                 shadow_clusters, o_sh[order], t_lim[order],
@@ -1014,6 +1034,25 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
 _RT_PRIMARY = knob("SGE_RT_PRIMARY")
 
 
+def _trans_subdiv_ok(geo: SceneGeometry, tr_flag) -> bool:
+    """STATIC gate for translucent-triangle subdivision: every material in
+    the translucent set must bind NO texture slot. Sub-triangle
+    barycentrics differ from the parent's, but then feed only texture taps
+    (uv interp) — factor-driven shading (base/alpha/emissive/MR factors,
+    face normal from the parent id, t from the shared plane) is identical
+    for any point on the parent triangle."""
+    tr = np.asarray(tr_flag)
+    if not tr.any():
+        return False
+    mids = np.unique(np.maximum(np.asarray(geo.tri_material), 0)[tr])
+    mats = geo.materials
+    for f in ("base_tex", "normal_tex", "mr_tex", "emissive_tex",
+              "occlusion_tex"):
+        if (np.asarray(getattr(mats, f))[mids] >= 0).any():
+            return False
+    return True
+
+
 def _opaque_tris(geo: SceneGeometry):
     """Per-triangle 'fragment fully occludes' flag for raster early exit:
     material alpha factor >= 0.99 (the shading loop's accumulation cutoff)
@@ -1108,12 +1147,28 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         trans_recs = []
         if len(tr_idx):
             ti = jnp.asarray(tr_idx, jnp.int32)
+            v0t, v1t, v2t = fg.bvh.v0[ti], fg.bvh.v1[ti], fg.bvh.v2[ti]
+            ids_t = ti.astype(jnp.float32)
+            depth = _TRANS_SUBDIV if _trans_subdiv_ok(geo, tr_flag) else 0
+            for _ in range(depth):
+                m01 = (v0t + v1t) * 0.5
+                m12 = (v1t + v2t) * 0.5
+                m20 = (v2t + v0t) * 0.5
+                # children (A,M01,M20) (M01,B,M12) (M20,M12,C)
+                # (M01,M12,M20), interleaved so a parent's children stay
+                # adjacent (cluster AABB locality)
+                v0t, v1t, v2t = (
+                    jnp.stack([v0t, m01, m20, m01], 1).reshape(-1, 3),
+                    jnp.stack([m01, v1t, m12, m12], 1).reshape(-1, 3),
+                    jnp.stack([m20, m12, v2t, m20], 1).reshape(-1, 3))
+                ids_t = jnp.repeat(ids_t, 4)
             h_ts = rasterize_clusters(
-                fg.bvh.v0[ti], fg.bvh.v1[ti], fg.bvh.v2[ti], view_proj,
+                v0t, v1t, v2t, view_proj,
                 cam_pos, width, height, layers=max_layers, interpret=interp,
-                cluster=_RASTER_TRANS_CLUSTER,
+                cluster=(_RASTER_TRANS_CLUSTER if depth == 0
+                         else _RASTER_CLUSTER),
                 tile_h=th, flat_tiles=True,
-                ids=ti.astype(jnp.float32), resolve_t=False,
+                ids=ids_t, resolve_t=False,
                 prior_w=h_o.w_depth)
             trans_recs = [rec_of(h) for h in h_ts]
         hybrid = (rec_of(h_o), trans_recs)
@@ -1470,6 +1525,13 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             floor = jnp.where(found_l, t_l + 2.0 * shadow_bias(t_l), floor)
             recs.append((t_l, tri_l, u_l, v_l, found_l))
 
+        if _DEFERRED:
+            from .deferred import shade_deferred
+            return shade_deferred(geo, fg, ibl, lights, cam, ray_o, d, recs,
+                                  shadow_layers, enable_mirror,
+                                  enable_refraction, usage,
+                                  shadow_rows=shadow_rows,
+                                  shadow_clusters=shadow_clusters)
         if _LBATCH == 1:
             return shade_layers_batched(recs)
         t_1, tri_1, u_1, v_1, f_1 = recs[0]

@@ -1,0 +1,70 @@
+"""Merged deferred shading (render.deferred) == sequential shade pipeline.
+
+SGE_RT_DEFERRED=1 restructures the hybrid frame into one G-buffer pass +
+one merged bounce trace + ONE shadow sweep + one light pass; the
+per-record math is the sequential path's, so images must agree to float
+reassociation noise. Env is read at import -> subprocess per config.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+CODE = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["SGE_JAX_TRAVERSAL"] = "1"
+os.environ["SGE_RT_PRIMARY"] = "hybrid"
+os.environ["SGE_RT_DEFERRED"] = os.environ["TEST_DEFERRED"]
+import numpy as np
+import jax.numpy as jnp
+from swift_game_engine_tpu.scene.demo_scene import DemoScene
+from swift_game_engine_tpu.render.scene_geometry import flatten_frame
+from swift_game_engine_tpu.render import rt as RT
+from swift_game_engine_tpu.render.ibl import IBL
+from swift_game_engine_tpu.render.camera import Camera
+
+scene = DemoScene(include_imported_assets=False).build()
+geo, lights = scene["geometry"], scene["lights"]
+stepper, state = scene["stepper"], scene["state"]
+cam = Camera()
+cam.position = np.array([0.0, 4.0, 14.0], np.float32)
+cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+W, H = 96, 54
+transforms, palettes = stepper.extract(state, 0.0, np.zeros(3, np.float32))
+fg = flatten_frame(geo, transforms, palettes)
+img = RT.render_frame(geo, fg, IBL.build(), lights,
+                      jnp.asarray(cam.inv_view_proj(W, H)),
+                      jnp.asarray(cam.position), W, H, max_layers=3,
+                      shadow_layers=2, view_proj=jnp.asarray(cam.view_proj(W, H)))
+np.save(os.environ["TEST_OUT"], np.asarray(img))
+print("DONE")
+"""
+
+
+def _render(deferred, out):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["TEST_DEFERRED"] = deferred
+    env["TEST_OUT"] = out
+    proc = subprocess.run([sys.executable, "-c", CODE], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+
+
+@pytest.mark.slow
+def test_deferred_matches_sequential(tmp_path):
+    a = str(tmp_path / "seq.npy")
+    b = str(tmp_path / "def.npy")
+    _render("0", a)
+    _render("1", b)
+    ia, ib = np.load(a), np.load(b)
+    assert ia.shape == ib.shape
+    diff = np.abs(ia - ib)
+    # same math, reorganized: reassociation-level noise only
+    assert diff.max() < 1e-4, diff.max()
