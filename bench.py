@@ -92,7 +92,7 @@ print(f"POSE {N * STEPS / dt:.0f} char-steps/s ({N} chars, "
 
 
 def run_probe(env_extra, timeout, tag):
-    env = dict(os.environ, **env_extra)
+    env = dict(os.environ, BENCH_WARM="0", **env_extra)
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
@@ -152,6 +152,31 @@ def main():
                   1200, "decimated 960x540 (r1-r3 headline scene)")
         log("FitMotion parity (config #1): tests/test_fit_motion.py (golden "
             "round-trip vs checked-in Idle/Walking profiles)")
+
+    # Two-phase warm run (round 5, VERDICT r4 next #7): seed the
+    # persistent compile cache in a SUBPROCESS with the exact headline
+    # frame program, so the measurement below always runs against a warm
+    # cache. The seed pass's own warmup time is the honest cold-compile
+    # number (reported separately); on unchanged code the cache is already
+    # hot and the seed pass costs scene build + cache load only (~30 s).
+    if os.environ.get("BENCH_WARM", "1") == "1":
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_SECONDARY="0", BENCH_FRAMES="1",
+                         BENCH_PHYSICS="0", BENCH_WARM="0"),
+                capture_output=True, text=True, timeout=1800)
+            seed_warm = next((ln.split(":", 1)[1].strip()
+                              for ln in r.stderr.splitlines()
+                              if ln.startswith("warmup/compile:")), "?")
+            log(f"cache seed pass: {time.time()-t0:.1f}s total, "
+                f"headline-program compile {seed_warm} "
+                f"(cold if code changed, warm otherwise); the measurement "
+                f"below is always warm-cache")
+        except subprocess.TimeoutExpired:
+            log("cache seed pass: timed out (measurement below may pay "
+                "a cold compile)")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

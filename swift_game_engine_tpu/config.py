@@ -29,7 +29,7 @@ class RenderConfig:
     SGE_RASTER_CLUSTER: int = 128
     SGE_RASTER_CLUSTER_RT: int = 0       # 0 = module default
     SGE_RASTER_TRANS_CLUSTER: int = 16   # translucent subset (big hulls)
-    SGE_RASTER_TRANS_SUBDIV: int = 2     # hull midpoint-subdiv levels
+    SGE_RASTER_TRANS_SUBDIV: int = 0     # hull midpoint-subdiv levels (r5: depth2+cluster128 measured 2x LOSS @960x540 full scene - 324 vs 152 ms; needs per-parent clusters, see STATUS)
     SGE_RASTER_TILE_H: int = 0           # 0 = 32 (the lane-order tile height)
     SGE_RASTER_LISTS: int = 0
     SGE_RASTER_UNROLL: int = 8

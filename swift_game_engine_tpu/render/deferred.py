@@ -149,6 +149,18 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
     cam = jnp.asarray(cam_pos, jnp.float32)
     if RT._PROF_NO_BOUNCE:
         enable_mirror = enable_refraction = False
+    # STATIC bounce pruning: geo is concrete at trace time, so scenes with
+    # no transmissive material (the DemoScene) never build the refraction
+    # segment at all — its R dead lanes would otherwise ride every bounce
+    # buffer and the merged shadow sweep. Same for the mirror gate.
+    mats_np = geo.materials
+    if enable_refraction and not bool(
+            (np.asarray(mats_np.transmission) > 0.001).any()):
+        enable_refraction = False
+    if enable_mirror and not bool(
+            ((np.asarray(mats_np.metallic) >= 0.8) &
+             (np.asarray(mats_np.roughness) <= 0.08)).any()):
+        enable_mirror = False
 
     # ---- 1. record alphas + transparency chain (elementwise) ----------
     t_s = jnp.stack([r[0] for r in recs]).reshape(-1)
@@ -246,10 +258,13 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
         gate_all = jnp.concatenate([gate_l, gate_b])
     else:
         hp_all, n_all, bias_all, gate_all = hp_l, n_l, gl.bias, gate_l
-    shadow_all = RT._shadow_factor(
-        geo, fg, hp_all, n_all, lights.direction[0], max_d0, bias_all,
-        gate_all, shadow_layers, usage, shadow_rows=shadow_rows,
-        shadow_clusters=shadow_clusters, sort=True)
+    if RT._PROF_SHADOW_OFF:   # timing-only attribution knob (WRONG output)
+        shadow_all = jnp.ones(hp_all.shape[0])
+    else:
+        shadow_all = RT._shadow_factor(
+            geo, fg, hp_all, n_all, lights.direction[0], max_d0, bias_all,
+            gate_all, shadow_layers, usage, shadow_rows=shadow_rows,
+            shadow_clusters=shadow_clusters, sort=True)
 
     # ---- 6. ONE light pass --------------------------------------------
     color_l = RT._light_records(ibl, lights, cam, d_rec, m_l, n_l, hp_l,

@@ -424,6 +424,34 @@ def _light_morton_order(basis, o, t_lim):
     return jnp.argsort(code, stable=True)
 
 
+# Ordering mode for the sorted shadow sweep (see _shadow_factor sort=):
+#   "morton"    — light-space Morton argsort (tight packet footprints;
+#                 costs an argsort over the full lane stream)
+#   "partition" — O(n) stable live-first partition (cumsum + drop-scatter,
+#                 no argsort). Live lanes keep their RECORD order, which is
+#                 tile-major for layer records — already spatially coherent
+#                 — and dead lanes park into instantly-exiting packets.
+_SHADOW_SORT_MODE = knob("SGE_SHADOW_SORT_MODE", "partition")
+
+
+def _live_first_order(live):
+    """Stable permutation putting live lanes first in original order:
+    cumsum + drop-scatter (the _chunked_sorted 'scan' schedule)."""
+    n = live.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    pos_live = jnp.cumsum(live.astype(jnp.int32)) - 1
+    pos_dead = n_live + jnp.cumsum((~live).astype(jnp.int32)) - 1
+    pos = jnp.where(live, pos_live, pos_dead)
+    return jnp.zeros(n, jnp.int32).at[pos].set(lane, mode="drop")
+
+
+def _shadow_order(basis, o, t_lim):
+    if _SHADOW_SORT_MODE == "partition":
+        return _live_first_order(t_lim > 0.0)
+    return _light_morton_order(basis, o, t_lim)
+
+
 def _chunked_packets(mask, body, carry, cap_packets: int):
     """Packet-granular compaction: like ``_chunked`` but gathers whole
     traversal packets (runs of rt_kernel.BLOCK consecutive lanes) that
@@ -730,8 +758,8 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                 # scattered origin sets (chunk-compacted continuation
                 # records span the whole screen); records are per-lane, so
                 # sorted-trace + inverse scatter is bit-identical.
-                order = _light_morton_order(shadow_clusters.full.basis,
-                                            o_sh, t_lim)
+                order = _shadow_order(shadow_clusters.full.basis,
+                                      o_sh, t_lim)
                 t_s, ts_s, ids_s = trace_shadow_split(
                     shadow_clusters, o_sh[order], t_lim[order],
                     n_slots=shadow_layers,
@@ -750,7 +778,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                                          active, max_dist, shadow_layers,
                                          usage, alpha_payload=ap)
         if use_sort:
-            order = _light_morton_order(shadow_clusters.basis, o_sh, t_lim)
+            order = _shadow_order(shadow_clusters.basis, o_sh, t_lim)
             t_opq_s, ts_s, ids_s = trace_shadow_clusters(
                 shadow_clusters, o_sh[order], t_lim[order],
                 n_slots=shadow_layers,

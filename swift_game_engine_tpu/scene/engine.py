@@ -90,13 +90,44 @@ class Engine:
         self.frame_index = 0
         self.tone_mapping_enabled = True
         self.tone_mapping_exposure = 1.0
+        self._max_layers = max_layers
+        self._shadow_layers = shadow_layers
+        self._snap = None
 
+        self._program_cache = {}
+        self._build_programs()
+
+    def set_rt_resolution_scale(self, scale: float):
+        """Runtime rtResolutionScale change (Renderer.swift:232-258: the
+        reference reallocates the RT target when the scene's scale changes).
+        Under jit the RT size is a static shape, so each distinct size is a
+        distinct executable — built lazily on first use and cached on the
+        Engine (plus the persistent compile cache across runs), so toggling
+        between scales after warm-up costs no recompilation."""
+        scale = max(float(scale), 0.25)  # Renderer.swift:175
+        if scale == self.rt_scale:
+            return
+        self.rt_scale = scale
+        # in-flight frames belong to the old program's shapes
+        self._pending.clear()
+        self._snap = None
+        self._build_programs()
+
+    def _build_programs(self):
+        """(Re)build the jitted frame programs for the current rt_scale."""
+        width, height = self.width, self.height
+        path = self.path
+        max_layers, shadow_layers = self._max_layers, self._shadow_layers
         geo = self.geometry
         lights = self.lights
         ibl = self.ibl
         rw = max(int(width * self.rt_scale), 1)
         rh = max(int(height * self.rt_scale), 1)
         self.rt_size = (rw, rh)
+        cached = self._program_cache.get((rw, rh))
+        if cached is not None:
+            (self._fused, self._fetch_player_init, self.graph) = cached
+            return
 
         def _upscale(img):
             """RT target -> drawable size, bilinear — the reference samples
@@ -226,7 +257,8 @@ class Engine:
 
         self._fused = _fused
         self._fetch_player_init = lambda: _fetch0(self.state)
-        self._snap = None
+        self._program_cache[(rw, rh)] = (self._fused,
+                                         self._fetch_player_init, self.graph)
 
     # ------------------------------------------------------------------
 
