@@ -1,5 +1,5 @@
-"""Merged deferred shading: ONE shadow sweep + ONE bounce trace + ONE
-light pass per frame (round 5).
+"""Merged deferred shading: ONE shadow sweep + ONE bounce trace loop +
+ONE light pass per frame (round 5).
 
 The round-4 frame instantiated the shade/shadow machinery ~5x per frame:
 the dense L1 shade (own shadow sweep ~17.6 ms), the batched L2+
@@ -14,16 +14,23 @@ stream:
   1. record alphas + the transparency chain run as an elementwise
      precompute (a record's alpha needs no lighting), yielding the chain
      weights and the exact set of records that need shading
-  2. ONE chunk-compacted G-buffer pass over the live layer records
-     (rt._gbuffer: shading normal incl. normal maps + sampled material)
+  2. ONE DENSE G-buffer pass over the (L*p) layer records (rt._gbuffer:
+     shading normal incl. normal maps + sampled material). Dense, not
+     chunk-compacted: TPU scatters are per-element slow, so compacting
+     into chunks and scattering ~20 G-buffer fields back measured FAR
+     worse than dense gathers over the majority-dead record stream
+     (whose taps/normal-maps are live-masked — see rt._sparse_tap
+     ``active``)
   3. bounce setup is dense vector math (reflect / refraction_setup);
      the mirror and refraction rays of ALL layers merge into one stream
-     traced by ONE chunk-compacted trace loop
-  4. ONE G-buffer pass over the bounce hits
+     traced by ONE chunk-compacted trace loop (bounce segments that no
+     scene material can produce are pruned statically)
+  4. ONE dense G-buffer pass over the bounce hits
   5. ONE shadow sweep over every shadow origin in the frame (layer
-     records ++ mirror hits ++ refraction hits) — rt._shadow_factor on
-     the concatenated stream, so the cluster sweep / walk kernel is
-     instantiated once
+     records ++ bounce hits) — rt._shadow_factor with sort=True: the
+     live-first partition order packs live lanes into tight packets and
+     parks the majority-dead tail into instantly-exiting packets, with a
+     gather-based inverse (no wide scatters)
   6. ONE elementwise light pass (rt._light_records; split-sum IBL only
      for the layer records, exactly the with_ibl_spec split)
   7. bounce colors fold into their parents by the same Fresnel mixes as
@@ -57,81 +64,6 @@ def _tile(a, k):
     """(p, ...) -> (k*p, ...) repeat along a new leading axis, flattened."""
     return jnp.broadcast_to(a[None], (k,) + a.shape).reshape(
         (k * a.shape[0],) + a.shape[1:])
-
-
-class _GBuf:
-    """Dense per-record G-buffer: channel-split 1-D arrays (an (N,3)
-    while-loop carry gets a dim0-minor layout whose row scatter rewrites
-    the whole buffer per chunk — see rt.shade_layers_batched's note)."""
-
-    FIELDS = ("nx", "ny", "nz", "hx", "hy", "hz", "br", "bg", "bb",
-              "er", "eg", "eb", "alpha", "metallic", "roughness",
-              "occlusion", "transmission", "ior", "unlit", "bias")
-
-    def __init__(self, n):
-        z = jnp.zeros(n, jnp.float32)
-        for f in self.FIELDS:
-            setattr(self, f, z)
-        self.ior = jnp.ones(n, jnp.float32)
-
-    def tuple(self):
-        return tuple(getattr(self, f) for f in self.FIELDS)
-
-    def untuple(self, t):
-        for f, v in zip(self.FIELDS, t):
-            setattr(self, f, v)
-        return self
-
-    # -- dense views consumed by the light pass / folds ------------------
-    @property
-    def n(self):
-        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
-
-    @property
-    def hit_pos(self):
-        return jnp.stack([self.hx, self.hy, self.hz], axis=-1)
-
-    @property
-    def base(self):
-        return jnp.stack([self.br, self.bg, self.bb], axis=-1)
-
-    @property
-    def emissive(self):
-        return jnp.stack([self.er, self.eg, self.eb], axis=-1)
-
-    def material(self):
-        """The rt._sample_material dict shape expected by _light_records."""
-        return dict(base=self.base, alpha=self.alpha, metallic=self.metallic,
-                    roughness=self.roughness, emissive=self.emissive,
-                    occlusion=self.occlusion, transmission=self.transmission,
-                    ior=self.ior, unlit=self.unlit > 0.5)
-
-
-def _gbuffer_pass(geo, fg, usage, o_arr, d_arr, t_s, tri_s, u_s, v_s, mask):
-    """ONE chunk-compacted pass filling a dense _GBuf for the set lanes of
-    ``mask``. Gathers (shade rows, material rows, sparse taps, chunked
-    normal maps) scale with the LIVE record count, not the buffer size."""
-    nrec = mask.shape[0]
-    g = _GBuf(nrec)
-
-    def body(idx, valid, carry):
-        safe = jnp.minimum(idx, nrec - 1)
-        oc = o_arr[safe]
-        dc = d_arr[safe]
-        tc = jnp.where(valid, t_s[safe], 1.0)
-        tric = jnp.where(valid, tri_s[safe], -1)
-        uc, vc = u_s[safe], v_s[safe]
-        m, n, hpos, bs = RT._gbuffer(geo, fg, oc, dc, tc, tric, uc, vc,
-                                     valid, usage)
-        vals = (n[:, 0], n[:, 1], n[:, 2], hpos[:, 0], hpos[:, 1],
-                hpos[:, 2], m["base"][:, 0], m["base"][:, 1],
-                m["base"][:, 2], m["emissive"][:, 0], m["emissive"][:, 1],
-                m["emissive"][:, 2], m["alpha"], m["metallic"],
-                m["roughness"], m["occlusion"], m["transmission"], m["ior"],
-                m["unlit"].astype(jnp.float32), bs)
-        return tuple(c.at[idx].set(v) for c, v in zip(carry, vals))
-
-    return g.untuple(RT._chunked(mask, body, g.tuple(), cap=RT._CHUNK))
 
 
 def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
@@ -174,7 +106,7 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
     shade_m = []
     for li in range(L):
         t_l, tri_l, u_l, v_l, f_l = recs[li]
-        a_l = RT._sample_alpha(geo, tri_l, u_l, v_l, usage)
+        a_l = RT._sample_alpha(geo, tri_l, u_l, v_l, usage, active=f_l)
         live = live & f_l & (accum_a < 0.99)
         c_l = jnp.where(live, a_l * (1.0 - accum_a), 0.0)
         contribs.append(c_l)
@@ -183,14 +115,12 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
     shade_flat = jnp.concatenate(shade_m)
     accum_alpha = accum_a
 
-    # ---- 2. layer-record G-buffer -------------------------------------
+    # ---- 2. DENSE layer-record G-buffer -------------------------------
     o_rec = _tile(ray_o, L)
     d_rec = _tile(ray_d, L)
-    gl = _gbuffer_pass(geo, fg, usage, o_rec, d_rec, t_s, tri_s, u_s, v_s,
-                       shade_flat)
-    n_l = gl.n
-    hp_l = gl.hit_pos
-    m_l = gl.material()
+    m_l, n_l, hp_l, bias_l = RT._gbuffer(
+        geo, fg, o_rec, d_rec, t_s, jnp.where(shade_flat, tri_s, -1),
+        u_s, v_s, shade_flat, usage)
 
     # ---- 3. bounce setup + ONE merged trace loop ----------------------
     have_bounce = enable_mirror or enable_refraction
@@ -198,12 +128,12 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
         mirror_m = shade_flat & (m_l["roughness"] <= 0.08) & \
             (m_l["metallic"] >= 0.8)
         r_dir = normalize(reflect(d_rec, n_l))
-        o_mir = hp_l + n_l * gl.bias[..., None]
+        o_mir = hp_l + n_l * bias_l[..., None]
     if enable_refraction:
         t_dir, t_len, _eta = RT.refraction_setup(d_rec, n_l, m_l["ior"])
         t_dir_n = t_dir / jnp.maximum(t_len[..., None], 1e-20)
         refr_m = shade_flat & (m_l["transmission"] > 0.001) & (t_len > 0)
-        o_ref = hp_l + t_dir * gl.bias[..., None]
+        o_ref = hp_l + t_dir * bias_l[..., None]
 
     if have_bounce:
         segs_o, segs_d, segs_m = [], [], []
@@ -215,9 +145,9 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
             segs_o.append(o_ref)
             segs_d.append(t_dir_n)
             segs_m.append(refr_m)
-        o_b = jnp.concatenate(segs_o)
-        d_b = jnp.concatenate(segs_d)
-        mask_b = jnp.concatenate(segs_m)
+        o_b = jnp.concatenate(segs_o) if len(segs_o) > 1 else segs_o[0]
+        d_b = jnp.concatenate(segs_d) if len(segs_d) > 1 else segs_d[0]
+        mask_b = jnp.concatenate(segs_m) if len(segs_m) > 1 else segs_m[0]
         nb = o_b.shape[0]
 
         bt = jnp.ones(nb)
@@ -239,12 +169,10 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
         bt, btri, bu, bv, bfound = RT._chunked(
             mask_b, trace_body, (bt, btri, bu, bv, bfound), cap=RT._CHUNK)
 
-        # ---- 4. bounce-hit G-buffer -----------------------------------
-        gb = _gbuffer_pass(geo, fg, usage, o_b, d_b, bt, btri, bu, bv,
-                           bfound)
-        n_b = gb.n
-        hp_b = gb.hit_pos
-        m_b = gb.material()
+        # ---- 4. DENSE bounce-hit G-buffer -----------------------------
+        m_b, n_b, hp_b, bias_b = RT._gbuffer(
+            geo, fg, o_b, d_b, bt, jnp.where(bfound, btri, -1), bu, bv,
+            bfound, usage)
 
     # ---- 5. ONE shadow sweep over every origin ------------------------
     gate_l, _, max_d0, _ = RT._light_gate(lights, 0, m_l, n_l, hp_l, cam,
@@ -254,10 +182,10 @@ def shade_deferred(geo, fg, ibl, lights, cam_pos, ray_o, ray_d, recs,
                                          bfound)
         hp_all = jnp.concatenate([hp_l, hp_b])
         n_all = jnp.concatenate([n_l, n_b])
-        bias_all = jnp.concatenate([gl.bias, gb.bias])
+        bias_all = jnp.concatenate([bias_l, bias_b])
         gate_all = jnp.concatenate([gate_l, gate_b])
     else:
-        hp_all, n_all, bias_all, gate_all = hp_l, n_l, gl.bias, gate_l
+        hp_all, n_all, bias_all, gate_all = hp_l, n_l, bias_l, gate_l
     if RT._PROF_SHADOW_OFF:   # timing-only attribution knob (WRONG output)
         shadow_all = jnp.ones(hp_all.shape[0])
     else:

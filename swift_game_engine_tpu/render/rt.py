@@ -436,20 +436,27 @@ _SHADOW_SORT_MODE = knob("SGE_SHADOW_SORT_MODE", "partition")
 
 def _live_first_order(live):
     """Stable permutation putting live lanes first in original order:
-    cumsum + drop-scatter (the _chunked_sorted 'scan' schedule)."""
+    cumsum + ONE int32 scatter. Returns (order, inv): ``inv`` IS the
+    cumsum-derived destination slot of each lane, so scattering results
+    back becomes a GATHER by inv — scatters are per-element slow on TPU
+    and the record arrays are wide, so the gather-based inverse is the
+    difference between a cheap reorder and a 100-ms-class one."""
     n = live.shape[0]
     lane = jnp.arange(n, dtype=jnp.int32)
     n_live = jnp.sum(live.astype(jnp.int32))
     pos_live = jnp.cumsum(live.astype(jnp.int32)) - 1
     pos_dead = n_live + jnp.cumsum((~live).astype(jnp.int32)) - 1
-    pos = jnp.where(live, pos_live, pos_dead)
-    return jnp.zeros(n, jnp.int32).at[pos].set(lane, mode="drop")
+    inv = jnp.where(live, pos_live, pos_dead)
+    order = jnp.zeros(n, jnp.int32).at[inv].set(lane, mode="drop")
+    return order, inv
 
 
 def _shadow_order(basis, o, t_lim):
+    """(order, inv | None): inv present means 'results[inv] un-sorts'
+    (gathers); None falls back to .at[order].set scatters (morton)."""
     if _SHADOW_SORT_MODE == "partition":
         return _live_first_order(t_lim > 0.0)
-    return _light_morton_order(basis, o, t_lim)
+    return _light_morton_order(basis, o, t_lim), None
 
 
 def _chunked_packets(mask, body, carry, cap_packets: int):
@@ -512,14 +519,19 @@ def _chunked_packets(mask, body, carry, cap_packets: int):
 _DENSE_SMALL = knob("SGE_RT_DENSE_SMALL", 0)
 
 
-def _sparse_tap(textures, tex_ids, uv, default):
+def _sparse_tap(textures, tex_ids, uv, default, active=None):
     """Bilinear texture taps only for lanes that bind a texture
     (tex_id >= 0), chunk-compacted; other lanes get ``default``. Each
     bilinear sample is 4 HBM gathers per lane, so dense taps dominate shade
     cost when only a few lanes are textured. Small static batches tap
-    densely (see _DENSE_SMALL)."""
+    densely (see _DENSE_SMALL). ``active``: optional lane mask — INACTIVE
+    lanes never tap (dead records gather tri 0's material id, which may
+    bind textures; the deferred pipeline's dense record buffers are
+    majority-dead, so gating on liveness is load-bearing there)."""
     p = tex_ids.shape[0]
     bound = tex_ids >= 0
+    if active is not None:
+        bound = bound & active
     if p <= _DENSE_SMALL:
         s = sample_bilinear(textures, jnp.maximum(tex_ids, 0), uv, default)
         return jnp.where(bound[:, None], s, default)
@@ -565,7 +577,8 @@ def _interp(attr, tri_v, u, v):
         + attr[tri_v[:, 2]] * v[..., None]
 
 
-def _sample_material(geo: SceneGeometry, mid, uv, usage, unlit=None):
+def _sample_material(geo: SceneGeometry, mid, uv, usage, unlit=None,
+                     active=None):
     """PBR material sample per hit (RayTracing.metalinc:132-176).
 
     ``mid`` is the per-lane material id (callers read it from the
@@ -593,18 +606,20 @@ def _sample_material(geo: SceneGeometry, mid, uv, usage, unlit=None):
     # (chunk-compacted); dense taps measured ~46 ms/shade while typically a
     # few percent of lanes are textured.
     if usage.base:
-        base_t = _sparse_tap(geo.textures, base_tex, uv, white)
+        base_t = _sparse_tap(geo.textures, base_tex, uv, white, active)
         base = base * base_t[..., :3]
         alpha = alpha * base_t[..., 3]
     if usage.mr:
-        mr_t = _sparse_tap(geo.textures, mr_tex, uv, white)
+        mr_t = _sparse_tap(geo.textures, mr_tex, uv, white, active)
         roughness = roughness * mr_t[..., 1]
         metallic = metallic * mr_t[..., 2]
     if usage.emissive:
-        em_t = _sparse_tap(geo.textures, mats.emissive_tex[mid], uv, white)
+        em_t = _sparse_tap(geo.textures, mats.emissive_tex[mid], uv, white,
+                           active)
         emissive = emissive * em_t[..., :3]
     if usage.occlusion:
-        oc_t = _sparse_tap(geo.textures, mats.occlusion_tex[mid], uv, white)
+        oc_t = _sparse_tap(geo.textures, mats.occlusion_tex[mid], uv, white,
+                           active)
         occlusion = occlusion * oc_t[..., 0]
 
     return dict(base=base, alpha=alpha, metallic=metallic, roughness=roughness,
@@ -640,7 +655,7 @@ def _simple_unlit_tri(geo: SceneGeometry, usage, enable_mirror,
     return simple[jnp.maximum(geo.tri_material, 0)]
 
 
-def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
+def _sample_alpha(geo: SceneGeometry, tri, u, v, usage, active=None):
     """Shadow-filter alpha (RayTracing.metalinc:178-195). When no bound
     base texture carries alpha < 1 the material factor alone is exact and
     the 4-tap texture gather is skipped (static specialization)."""
@@ -660,7 +675,8 @@ def _sample_alpha(geo: SceneGeometry, tri, u, v, usage):
     else:
         tri_v = geo.tri[jnp.maximum(tri, 0)]
         uv = _interp(geo.uv, tri_v, u, v)
-    base_t = _sparse_tap(geo.textures, mats.base_tex[mid], uv, jnp.ones(4))
+    base_t = _sparse_tap(geo.textures, mats.base_tex[mid], uv, jnp.ones(4),
+                         active)
     return alpha * base_t[..., 3]
 
 
@@ -758,17 +774,20 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                 # scattered origin sets (chunk-compacted continuation
                 # records span the whole screen); records are per-lane, so
                 # sorted-trace + inverse scatter is bit-identical.
-                order = _shadow_order(shadow_clusters.full.basis,
-                                      o_sh, t_lim)
+                order, inv = _shadow_order(shadow_clusters.full.basis,
+                                           o_sh, t_lim)
                 t_s, ts_s, ids_s = trace_shadow_split(
                     shadow_clusters, o_sh[order], t_lim[order],
                     n_slots=shadow_layers,
                     interpret=jax.default_backend() != "tpu",
                     alpha_payload=ap)
                 p_sh = o_sh.shape[0]
-                t_opq = jnp.zeros(p_sh).at[order].set(t_s)
-                ts = jnp.zeros((p_sh, shadow_layers)).at[order].set(ts_s)
-                ids = jnp.zeros((p_sh, shadow_layers)).at[order].set(ids_s)
+                if inv is not None:
+                    t_opq, ts, ids = t_s[inv], ts_s[inv], ids_s[inv]
+                else:
+                    t_opq = jnp.zeros(p_sh).at[order].set(t_s)
+                    ts = jnp.zeros((p_sh, shadow_layers)).at[order].set(ts_s)
+                    ids = jnp.zeros((p_sh, shadow_layers)).at[order].set(ids_s)
             else:
                 t_opq, ts, ids = trace_shadow_split(
                     shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
@@ -778,16 +797,19 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                                          active, max_dist, shadow_layers,
                                          usage, alpha_payload=ap)
         if use_sort:
-            order = _shadow_order(shadow_clusters.basis, o_sh, t_lim)
+            order, inv = _shadow_order(shadow_clusters.basis, o_sh, t_lim)
             t_opq_s, ts_s, ids_s = trace_shadow_clusters(
                 shadow_clusters, o_sh[order], t_lim[order],
                 n_slots=shadow_layers,
                 interpret=jax.default_backend() != "tpu",
                 lists=_SHADOW_LISTS, alpha_payload=ap)
             p = o_sh.shape[0]
-            t_opq = jnp.zeros(p).at[order].set(t_opq_s)
-            ts = jnp.zeros((p, shadow_layers)).at[order].set(ts_s)
-            ids = jnp.zeros((p, shadow_layers)).at[order].set(ids_s)
+            if inv is not None:
+                t_opq, ts, ids = t_opq_s[inv], ts_s[inv], ids_s[inv]
+            else:
+                t_opq = jnp.zeros(p).at[order].set(t_opq_s)
+                ts = jnp.zeros((p, shadow_layers)).at[order].set(ts_s)
+                ids = jnp.zeros((p, shadow_layers)).at[order].set(ids_s)
         else:
             t_opq, ts, ids = trace_shadow_clusters(
                 shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
@@ -890,7 +912,7 @@ def _gbuffer(geo, fg: FrameGeometry, ray_o, ray_d, t_hit, tri, u, v,
     n_geom = jnp.where(jnp.sum(n_geom * ray_d, axis=-1, keepdims=True) > 0,
                        -n_geom, n_geom)
     view = normalize(-ray_d)
-    m = _sample_material(geo, mid, uv, usage, unlit=unlit)
+    m = _sample_material(geo, mid, uv, usage, unlit=unlit, active=active)
 
     # Tangent-space normal mapping (RayTracing.metalinc:283-316),
     # chunk-compacted to the lanes whose material binds a normal map — the
@@ -936,7 +958,7 @@ def _gbuffer(geo, fg: FrameGeometry, ray_o, ray_d, t_hit, tri, u, v,
                 -n_mapped, n_mapped)
             n = jnp.where(has_nm[..., None], n_mapped, n_geom)
         else:
-            n = _chunked(m["normal_tex"] >= 0, nm_body, n_geom,
+            n = _chunked((m["normal_tex"] >= 0) & active, nm_body, n_geom,
                          cap=_CHUNK_SMALL)
     else:
         n = n_geom
