@@ -51,7 +51,7 @@ class RenderConfig:
     SGE_SHADOW_CLUSTER_MIN_LANES: int = 100000
 
     # --- shading / compaction ----------------------------------------------
-    SGE_RT_DEFERRED: int = 1             # merged deferred shade (round 5)
+    SGE_RT_DEFERRED: int = 0             # merged deferred shade (r5 experiment: LOSES on TPU - N-sized gather cost; see STATUS)
     SGE_RT_LBATCH: int = 2               # batched continuation layers
     SGE_RT_CHUNK: int = 131072
     SGE_RT_CHUNK_SMALL: int = 8192
