@@ -1040,11 +1040,12 @@ def _light_records(ibl: IBL, lights: DirectionalLights, cam_pos, ray_d,
     return jnp.where(active[..., None], color, 0.0)
 
 
-@partial(jax.jit, static_argnames=("with_ibl_spec", "shadow_layers", "usage"))
+@partial(jax.jit, static_argnames=("with_ibl_spec", "shadow_layers", "usage",
+                                   "shadow_sort"))
 def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
                cam_pos, ray_o, ray_d, t_hit, tri, u, v, active,
                with_ibl_spec: bool, shadow_layers: int, usage=None,
-               shadow_rows=None, shadow_clusters=None):
+               shadow_rows=None, shadow_clusters=None, shadow_sort=None):
     """Shade one hit batch. Returns (color, m, n_shade, hit_pos, bias).
 
     Inactive/missed lanes are sanitized (t := 1) and their color forced to 0
@@ -1065,7 +1066,8 @@ def _shade_hit(geo, fg: FrameGeometry, ibl: IBL, lights: DirectionalLights,
         shadow0 = _shadow_factor(geo, fg, hit_pos, n, lights.direction[0],
                                  max_dist0, bias, gate0, shadow_layers,
                                  usage, shadow_rows=shadow_rows,
-                                 shadow_clusters=shadow_clusters)
+                                 shadow_clusters=shadow_clusters,
+                                 sort=shadow_sort)
     color = _light_records(ibl, lights, cam_pos, ray_d, m, n, hit_pos,
                            active, with_ibl_spec, shadow0=shadow0,
                            gates=gates)
@@ -1287,7 +1289,8 @@ def _mirror_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, metallic,
         r_color, r_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, r_o, r_dir, rt, rtri, ru, rv,
             rfound, False, shadow_layers, usage=usage,
-            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters)
+            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters,
+            shadow_sort=True)
         refl_alpha = jnp.where(rfound, r_m["alpha"], 0.0)
         refl = jnp.where(rfound[..., None], r_color * refl_alpha[..., None], 0.0) \
             + BG_COLOR * (1.0 - refl_alpha)[..., None]
@@ -1344,7 +1347,8 @@ def _refraction_pass(geo, fg, ibl, lights, cam, d, n, hit_pos, bias, base,
         f_color, f_m, _, _, _ = _shade_hit(
             geo, fg, ibl, lights, cam, t_o, t_dir_n, ft, ftri, fu, fv,
             ffound, False, shadow_layers, usage=usage,
-            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters)
+            shadow_rows=shadow_rows, shadow_clusters=shadow_clusters,
+            shadow_sort=True)
         refr_alpha = jnp.where(ffound, f_m["alpha"], 0.0)
         refr_bg = eval_env_sh(t_dir_n, ibl.sh0, ibl.sh1) * AMBIENT_INTENSITY
         refr = jnp.where(ffound[..., None], f_color * refr_alpha[..., None], 0.0) \
@@ -1435,12 +1439,18 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         if so_available(fg.bvh.rows):
             so_rows = build_origin_rows(fg.bvh.rows, cam)
 
-    def shade_layer(o_l, d_l, t, tri, u, v, found, alpha_in):
-        """Shade one layer's hits incl. bounces -> (color, contrib, next_o)."""
+    def shade_layer(o_l, d_l, t, tri, u, v, found, alpha_in,
+                    compacted=False):
+        """Shade one layer's hits incl. bounces -> (color, contrib, next_o).
+
+        ``compacted`` (static): the batch is a chunk-compacted record set —
+        its shadow lanes are scattered AND majority-dead (unlit hulls leave
+        the light gate), so the sweep runs live-first partitioned (see
+        _shadow_factor sort=)."""
         color, m, n, hit_pos, bias = _shade_hit(
             geo, fg, ibl, lights, cam, o_l, d_l, t, tri, u, v, found,
             True, shadow_layers, usage=usage, shadow_rows=shadow_rows,
-            shadow_clusters=shadow_clusters)
+            shadow_clusters=shadow_clusters, shadow_sort=compacted or None)
         if _PROF_NO_BOUNCE:
             contrib = jnp.where(found, m["alpha"] * (1.0 - alpha_in), 0.0)
             next_o = hit_pos + d_l * (bias * 2.0)[..., None]
@@ -1504,7 +1514,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 uc, vc, _ = barycentrics(fg.bvh, oc, dc, tc, tric)
             # alpha_in=0 -> shade_layer's contrib IS the record's alpha
             color, alpha, _ = shade_layer(oc, dc, tc, tric, uc, vc, valid,
-                                          jnp.zeros_like(tc))
+                                          jnp.zeros_like(tc),
+                                          compacted=True)
             cr = cr.at[idx].set(color[:, 0])
             cg = cg.at[idx].set(color[:, 1])
             cb = cb.at[idx].set(color[:, 2])
@@ -1620,7 +1631,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 safe = jnp.minimum(idx, p - 1)
                 color, contrib, _ = shade_layer(
                     ray_o[safe], d[safe], _t[safe], _tri[safe], _u[safe],
-                    _v[safe], valid, accum_alpha[safe])
+                    _v[safe], valid, accum_alpha[safe], compacted=True)
                 accum = accum.at[idx].add(color * contrib[..., None])
                 accum_alpha = accum_alpha.at[idx].add(contrib)
                 return accum, accum_alpha
@@ -1693,7 +1704,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 tric = jnp.where(valid, _tri[safe], -1)
                 uc, vc, _ = barycentrics(fg.bvh, oc, dc, tc, tric)
                 color, contrib, _ = shade_layer(oc, dc, tc, tric, uc, vc,
-                                                valid, accum_alpha[safe])
+                                                valid, accum_alpha[safe],
+                                                compacted=True)
                 accum = accum.at[idx].add(color * contrib[..., None])
                 accum_alpha = accum_alpha.at[idx].add(contrib)
                 return accum, accum_alpha
@@ -1749,7 +1761,7 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 dc = d[safe]
                 color, contrib, _ = shade_layer(
                     oc, dc, _t[safe], _tri[safe], _u[safe], _v[safe],
-                    valid, accum_alpha[safe])
+                    valid, accum_alpha[safe], compacted=True)
                 accum = accum.at[idx].add(color * contrib[..., None])
                 accum_alpha = accum_alpha.at[idx].add(contrib)
                 return accum, accum_alpha
@@ -1791,7 +1803,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 t = jnp.where(found, t, BIG)
                 tri = jnp.where(found, tri, -1)
                 color, contrib, _ = shade_layer(
-                    ray_o[safe], dc, t, tri, u, v, found, accum_alpha[safe])
+                    ray_o[safe], dc, t, tri, u, v, found, accum_alpha[safe],
+                    compacted=True)
                 accum = accum.at[idx].add(color * contrib[..., None])
                 accum_alpha = accum_alpha.at[idx].add(contrib)
                 new_floor = jnp.where(found, t + 2.0 * shadow_bias(t),
@@ -1825,7 +1838,8 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
                 dc = d[safe]
                 t, tri, u, v, found = _trace_batch(fg.bvh, oc, dc, valid)
                 color, contrib, next_o = shade_layer(
-                    oc, dc, t, tri, u, v, found, accum_alpha[safe])
+                    oc, dc, t, tri, u, v, found, accum_alpha[safe],
+                    compacted=True)
                 accum = accum.at[idx].add(color * contrib[..., None])
                 accum_alpha = accum_alpha.at[idx].add(contrib)
                 o = o.at[idx].set(jnp.where(found[:, None], next_o, o[safe]))
