@@ -267,6 +267,15 @@ _DEFERRED = bool(knob("SGE_RT_DEFERRED"))
 # Gated on _UNLIT_FAST (ADVICE r3): the split's cheap path equals the full
 # shade only when unlit materials take the unlit branch there.
 _UNLIT_SPLIT = bool(knob("SGE_RT_UNLIT_SPLIT")) and _UNLIT_FAST
+# Round 5: the DENSE reformulation of the same split. The r3 loss came
+# from the _compacted scatter machinery; here simple-unlit records
+# (demo: the translucent hull overlays — the MAJORITY of continuation
+# records) resolve with ONE (L*p,) gather from a per-triangle (T,4)
+# color/alpha row table (color = base+emissive factors, alpha = factor —
+# all static per triangle), purely elementwise, and the chunk loop then
+# compacts over the HEAVY records only (typically the lit opaque hits
+# behind the hulls) — fewer chunk iterations, each mostly-live.
+_UNLIT_DENSE = bool(knob("SGE_RT_UNLIT_DENSE", 1)) and _UNLIT_FAST
 # Timing-only attribution knobs (examples/prof_shade_parts.py): knock out
 # one shade sub-part each. WRONG output — never enabled in production.
 _PROF_SHADOW_OFF = bool(knob("SGE_PROF_SHADOW_OFF"))
@@ -1528,13 +1537,32 @@ def _render_rays(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
         flat = jnp.concatenate([f & chain_open for f in f_s])
         heavy = flat
         rec_simple = None
-        if _UNLIT_SPLIT:
+        z = jnp.zeros(nl * p)
+        init = (z, z, z, z)
+        if _UNLIT_DENSE:
+            # Dense simple-unlit resolve (see _UNLIT_DENSE): one row-table
+            # gather replaces every chunk iteration those records would
+            # occupy. The (T,5) table is a traced constant (geo concrete).
+            simple_tri = _simple_unlit_tri(geo, usage, enable_mirror,
+                                           enable_refraction)
+            mid_t = jnp.maximum(geo.tri_material, 0)
+            rowt = geo.materials.packed[mid_t]
+            tab = jnp.concatenate([
+                rowt[:, 0:3] + rowt[:, 6:9],
+                jnp.clip(rowt[:, 3:4], 0.0, 1.0),
+                jnp.asarray(simple_tri, jnp.float32)[:, None]], axis=1)
+            rec = tab[jnp.maximum(tri_s, 0)]          # ONE (nl*p, 5) gather
+            simple_d = flat & (rec[:, 4] > 0.5)
+            heavy = flat & jnp.logical_not(simple_d)
+            sd = simple_d.astype(jnp.float32)
+            init = (rec[:, 0] * sd, rec[:, 1] * sd, rec[:, 2] * sd,
+                    rec[:, 3] * sd)
+        elif _UNLIT_SPLIT:
             simple_tri = _simple_unlit_tri(geo, usage, enable_mirror,
                                            enable_refraction)
             rec_simple = flat & simple_tri[jnp.maximum(tri_s, 0)]
             heavy = flat & jnp.logical_not(rec_simple)
-        z = jnp.zeros(nl * p)
-        cr, cg, cb, alphas = _chunked(heavy, chunk, (z, z, z, z), cap=_CHUNK)
+        cr, cg, cb, alphas = _chunked(heavy, chunk, init, cap=_CHUNK)
         if rec_simple is not None:
             def cheap(idx, valid):
                 tri_c = jnp.maximum(tri_s[jnp.minimum(idx, nl * p - 1)], 0)
