@@ -275,7 +275,11 @@ _UNLIT_SPLIT = bool(knob("SGE_RT_UNLIT_SPLIT")) and _UNLIT_FAST
 # all static per triangle), purely elementwise, and the chunk loop then
 # compacts over the HEAVY records only (typically the lit opaque hits
 # behind the hulls) — fewer chunk iterations, each mostly-live.
-_UNLIT_DENSE = bool(knob("SGE_RT_UNLIT_DENSE", 1)) and _UNLIT_FAST
+# MEASURED LOSS @960x540 full scene (177.2 vs 149.5 ms, identical image):
+# the (L*p,)-lane 5-wide row gather costs more than the chunk iterations
+# it saves at this scene's hull coverage. Default OFF; knob kept for
+# hull-heavy scenes.
+_UNLIT_DENSE = bool(knob("SGE_RT_UNLIT_DENSE", 0)) and _UNLIT_FAST
 # Timing-only attribution knobs (examples/prof_shade_parts.py): knock out
 # one shade sub-part each. WRONG output — never enabled in production.
 _PROF_SHADOW_OFF = bool(knob("SGE_PROF_SHADOW_OFF"))
