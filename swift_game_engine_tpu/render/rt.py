@@ -303,6 +303,11 @@ _RASTER_TRANS_CLUSTER = knob("SGE_RASTER_TRANS_CLUSTER")
 # whenever the translucent set's materials bind no textures (see
 # _trans_subdiv_ok): sub-triangle barycentrics feed only texture taps, and
 # t/normal/material derive from the shared plane + parent id.
+# MEASURED LOSSES at every shape tried @960x540 full scene (baseline
+# 149.5 ms): depth2/cluster128 = 324, depth1/cluster16 = 191.6 — the
+# translucent raster's cost is the per-tile insertion-network work over
+# COVERED PIXELS x layers, which subdivision cannot reduce (it only adds
+# cluster meta scans). Default 0; the knob and the exactness gate stay.
 _TRANS_SUBDIV = knob("SGE_RASTER_TRANS_SUBDIV")
 
 
@@ -1238,8 +1243,7 @@ def render_frame(geo: SceneGeometry, fg: FrameGeometry, ibl: IBL,
             h_ts = rasterize_clusters(
                 v0t, v1t, v2t, view_proj,
                 cam_pos, width, height, layers=max_layers, interpret=interp,
-                cluster=(_RASTER_TRANS_CLUSTER if depth == 0
-                         else _RASTER_CLUSTER),
+                cluster=_RASTER_TRANS_CLUSTER,
                 tile_h=th, flat_tiles=True,
                 ids=ids_t, resolve_t=False,
                 prior_w=h_o.w_depth)
