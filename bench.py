@@ -206,35 +206,6 @@ def main():
     eng.frame(1.0 / 60.0, InputFrame(ly=1.0), with_overlay=overlay)
     log(f"warmup/compile: {time.time()-t0:.1f}s")
 
-    # config #3: capsule-CCD physics throughput (scan-fused device time).
-    # Skippable (BENCH_PHYSICS=0): the axon backend faults when a second
-    # scene-sized program set loads into a live process that already holds
-    # a 1080p frame program.
-    if os.environ.get("BENCH_PHYSICS", "1") == "1":
-        import jax.numpy as jnp
-        n_sim = 120
-
-        @jax.jit
-        def sim_chunk(st):
-            def body(st, _):
-                return (eng.stepper._substep_impl(st, jnp.float32(1.0 / 60.0)),
-                        0)
-            st, _ = jax.lax.scan(body, st, None, length=n_sim)
-            return st
-
-        jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
-        t0 = time.time()
-        end_state = sim_chunk(eng.state)
-        jax.block_until_ready(end_state.body_pos)
-        sim_dt = time.time() - t0
-        log(f"physics (config #3): {n_sim/sim_dt:.1f} substeps/s "
-            f"({sim_dt/n_sim*1000:.2f} ms/substep; 60 Hz x4 worst case needs "
-            f">= 240/s)")
-        qc = np.asarray(end_state.ctrl.query_candidates)
-        qs = np.asarray(end_state.ctrl.query_casts)
-        log(f"collision stats (last substep): casts={int(qs.sum())} "
-            f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
-
     # full frames — steady-state pipelined throughput (pipeline warm-up
     # frames are excluded; frame N's image fetch overlaps frame N+1's
     # device work, matching the reference's 3-frames-in-flight pacing).
@@ -250,6 +221,41 @@ def main():
     log(f"frames: {fps:.3f} fps @ {width}x{height} ({wall/frames*1000:.0f} ms/frame, "
         f"{rays_per_s:.2f} Mprimary-rays/s, path={path}, "
         f"tris={scene['geometry'].tri.shape[0]})")
+
+    # config #3: capsule-CCD physics throughput (scan-fused device time).
+    # Runs AFTER the frame measurement (round 5): loading this second
+    # scene-sized program set into the live process measurably DEGRADES
+    # subsequent frame-program executions on the axon tunnel (observed:
+    # 213 vs 149 ms/frame on the identical headline program) — the same
+    # platform fragility class bench already works around with
+    # subprocess probes. Skippable with BENCH_PHYSICS=0.
+    if os.environ.get("BENCH_PHYSICS", "1") == "1":
+        import jax.numpy as jnp
+        n_sim = 120
+
+        @jax.jit
+        def sim_chunk(st):
+            def body(st, _):
+                return (eng.stepper._substep_impl(st, jnp.float32(1.0 / 60.0)),
+                        0)
+            st, _ = jax.lax.scan(body, st, None, length=n_sim)
+            return st
+
+        jax.block_until_ready(sim_chunk(eng.state).body_pos)  # compile
+        # perturb the input: the tunnel serves a repeated identical
+        # execution from a result cache (reads ~0 ms)
+        st_t = eng.state._replace(osc_time=eng.state.osc_time + 1e-5)
+        t0 = time.time()
+        end_state = sim_chunk(st_t)
+        jax.block_until_ready(end_state.body_pos)
+        sim_dt = time.time() - t0
+        log(f"physics (config #3): {n_sim/sim_dt:.1f} substeps/s "
+            f"({sim_dt/n_sim*1000:.2f} ms/substep; 60 Hz x4 worst case needs "
+            f">= 240/s)")
+        qc = np.asarray(end_state.ctrl.query_candidates)
+        qs = np.asarray(end_state.ctrl.query_casts)
+        log(f"collision stats (last substep): casts={int(qs.sum())} "
+            f"candidates={int(qc.sum())} (max/agent {int(qc.max()) if len(qc) else 0})")
 
     vs = fps * (px / (1920.0 * 1080.0)) / 60.0
     print(json.dumps({

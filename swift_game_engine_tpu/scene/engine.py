@@ -437,6 +437,15 @@ class Engine:
             np.asarray(self.camera.position, np.float32),
             np.asarray(cam_world, np.float32),
             np.float32(self.tone_mapping_exposure), np.int32(fps))
+        # Start the host copies NOW (round 5): the pop below happens
+        # pipeline_depth frames later, so the ~1.5 MB image transfer rides
+        # the tunnel while newer frames compute instead of serializing
+        # with them at pop time (np.asarray then reads the cached copy).
+        try:
+            u8_dev.copy_to_host_async()
+            snap_dev.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies
         self._pending.append((u8_dev, snap_dev))
         if len(self._pending) < self.pipeline_depth:
             # warm-up: nothing completed yet — present a black frame rather
