@@ -1,0 +1,82 @@
+"""A/B light-space Morton re-clustering of the shadow row table
+(SGE_SHADOW_MORTON_BUILD) on the full production frame.
+
+Usage: python examples/prof_r5_morton.py [WxH] [reps]
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from swift_game_engine_tpu.scene.demo_scene import DemoScene
+from swift_game_engine_tpu.render import rt as RT
+from swift_game_engine_tpu.ops import cluster_shadow as CS
+from swift_game_engine_tpu.render.scene_geometry import flatten_frame
+from swift_game_engine_tpu.render.camera import Camera
+from swift_game_engine_tpu.render.ibl import IBL
+
+
+def main():
+    wh = sys.argv[1] if len(sys.argv) > 1 else "960x540"
+    W, H = map(int, wh.split("x"))
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    scene = DemoScene().build()
+    geo = scene["geometry"]
+    stepper, state = scene["stepper"], scene["state"]
+    ibl = IBL.build()
+    lights = scene["lights"]
+
+    cam = Camera()
+    cam.position = np.array([0.0, 4.0, 14.0], np.float32)
+    cam.target = np.array([0.0, 0.0, 0.0], np.float32)
+    transforms, palettes = stepper.extract(state, 0.0,
+                                           np.zeros(3, np.float32))
+    fg = jax.jit(lambda tr, pa: flatten_frame(geo, tr, pa))(transforms,
+                                                            palettes)
+    jax.block_until_ready(fg.pos)
+    ivp = jnp.asarray(cam.inv_view_proj(W, H))
+    vp = jnp.asarray(cam.view_proj(W, H))
+    cpos = jnp.asarray(cam.position)
+
+    def run(name, cs_knobs):
+        saved = {k: getattr(CS, k) for k in cs_knobs}
+        for k, v in cs_knobs.items():
+            setattr(CS, k, v)
+        try:
+            @jax.jit
+            def frames(cp):
+                def body(i, acc):
+                    img = RT.render_frame(geo, fg, ibl, lights, ivp,
+                                          cp + 0.0 * i, W, H, max_layers=3,
+                                          shadow_layers=4, view_proj=vp)
+                    return acc + jnp.mean(img)
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+            jax.block_until_ready(frames(cpos))
+            ds = []
+            for r in range(2):
+                t0 = time.perf_counter()
+                acc = jax.block_until_ready(frames(cpos + 1e-5 * (r + 1)))
+                ds.append((time.perf_counter() - t0 - 0.027) / reps)
+            dt = min(ds)
+            print(f"{name}: {min(ds)*1e3:.1f} ms/frame ({1.0/dt:.2f} fps) "
+                  f"acc={float(acc):.6f}", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+        finally:
+            for k, v in saved.items():
+                setattr(CS, k, v)
+
+    run("morton build OFF", {"MORTON_BUILD": False})
+    run("morton build ON", {"MORTON_BUILD": True})
+
+
+if __name__ == "__main__":
+    main()

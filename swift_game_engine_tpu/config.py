@@ -39,6 +39,8 @@ class RenderConfig:
     # --- shadows ------------------------------------------------------------
     SGE_SHADOW_CLUSTERS: int = 1
     SGE_SHADOW_SPLIT: int = 1            # occlusion sweep + translucent slots
+    SGE_SHADOW_ANYHIT: int = 1           # settle occl lanes at first hit
+    SGE_SHADOW_MORTON_BUILD: int = 1     # light-space Morton re-clustering
     SGE_SHADOW_CLUSTER: int = 128
     SGE_SHADOW_BLOCK: int = 4096
     SGE_SHADOW_ALPHA: int = 1            # alpha-payload records

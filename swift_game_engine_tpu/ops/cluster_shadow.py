@@ -68,6 +68,27 @@ class ShadowClusters(NamedTuple):
     basis: jnp.ndarray  # (3, 3): rows e1, e2, l
 
 
+# Light-space Morton re-clustering at build time: re-order triangles by
+# the 2D Morton code of their light-plane centroid before forming
+# clusters. ANY permutation yields identical records (per-lane mins /
+# insertions over all triangles), but Morton order makes cluster
+# light-plane AABBs compact and square-ish instead of following mesh
+# stripes — fewer clusters overlap each packet footprint, which is what
+# the sweep's cost scales with (round-5 measurement: the sweep is
+# overlap-work-bound; depth early-exit changes are flat). Measured on one
+# v5e @960x540 full scene: 147.5 -> 145.8 ms/frame, identical image mean.
+MORTON_BUILD = bool(knob("SGE_SHADOW_MORTON_BUILD", 1))
+
+
+def _part1by1(x):
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
 def _ortho_basis(l):
     """Orthonormal (e1, e2) spanning the plane perpendicular to unit l."""
     ax = jnp.abs(l)
@@ -170,6 +191,29 @@ def build_shadow_clusters(v0, v1, v2, l, translucent,
     b_hi = jnp.where(ok, b_hi, -BIG)
     d_lo = jnp.where(ok, d_lo, BIG)
     d_hi = jnp.where(ok, d_hi, -BIG)
+
+    if MORTON_BUILD:
+        # light-plane Morton order of valid-triangle centroids; invalid
+        # triangles (empty footprints) park at the end
+        valid = a_lo <= a_hi
+        ca = jnp.where(valid, (a_lo + a_hi) * 0.5, 0.0)
+        cb = jnp.where(valid, (b_lo + b_hi) * 0.5, 0.0)
+        big = jnp.float32(BIG)
+        qa0 = jnp.min(jnp.where(valid, ca, big))
+        qa1 = jnp.max(jnp.where(valid, ca, -big))
+        qb0 = jnp.min(jnp.where(valid, cb, big))
+        qb1 = jnp.max(jnp.where(valid, cb, -big))
+        qa = jnp.clip((ca - qa0) / jnp.maximum(qa1 - qa0, 1e-6) * 1023.0,
+                      0.0, 1023.0).astype(jnp.int32)
+        qb = jnp.clip((cb - qb0) / jnp.maximum(qb1 - qb0, 1e-6) * 1023.0,
+                      0.0, 1023.0).astype(jnp.int32)
+        code = (_part1by1(qb) << 1) | _part1by1(qa)
+        code = jnp.where(valid, code, jnp.int32(1) << 30)
+        order_m = jnp.argsort(code)
+        rows = rows[order_m]
+        a_lo, a_hi = a_lo[order_m], a_hi[order_m]
+        b_lo, b_hi = b_lo[order_m], b_hi[order_m]
+        d_lo, d_hi = d_lo[order_m], d_hi[order_m]
 
     cl = cluster or CLUSTER
     pad = (-tcount) % cl
@@ -496,16 +540,26 @@ def build_shadow_split(v0, v1, v2, l, translucent, alpha=None,
 
 def _kernel_occl(*refs, n_clusters: int, cluster: int = 0,
                  stream: bool = False):
-    """Occlusion sweep: nearest OPAQUE t per lane, no record slots."""
+    """Occlusion sweep: nearest OPAQUE t per lane, no record slots.
+
+    ``tt`` (settle threshold, per lane): once t_opq drops below tt the
+    lane is SETTLED and stops contributing to the packet's early-exit
+    bound entirely. tt = 0 -> never settles (exact nearest-t contract);
+    tt = nearest translucent record t (BIG if none) -> any-hit mode: the
+    shadow FACTOR is already decided (0) for a lane whose nearest opaque
+    hit precedes every translucent record, so refining t_opq further is
+    pure waste (see trace_shadow_split anyhit=True for the exactness
+    argument)."""
     if stream:
         buf_ref, sem = refs[-2], refs[-1]
         refs = refs[:-2]
     (meta_ref, basis_ref, rows_ref, ox_ref, oy_ref, oz_ref, tlim_ref,
-     topq_out) = refs
+     tt_ref, topq_out) = refs
     px = ox_ref[0]
     py = oy_ref[0]
     pz = oz_ref[0]
     t_lim = tlim_ref[0]
+    tt = tt_ref[0]
     live = t_lim > 0.0
 
     a = px * basis_ref[0] + py * basis_ref[1] + pz * basis_ref[2]
@@ -523,8 +577,9 @@ def _kernel_occl(*refs, n_clusters: int, cluster: int = 0,
     dep_live = jnp.where(live, dep, -big)
 
     def bound_of(t_opq):
+        need = live & (t_opq >= tt)
         lane_t = jnp.minimum(t_lim, t_opq)
-        return jnp.max(dep_live + jnp.where(live, lane_t, 0.0))
+        return jnp.max(jnp.where(need, dep_live + lane_t, -big))
 
     def do_cluster(base_i, t_opq):
         if stream:
@@ -583,24 +638,34 @@ def _kernel_occl(*refs, n_clusters: int, cluster: int = 0,
 
 def trace_shadow_occl(sc: ShadowClusters, o, t_limit,
                       interpret: bool = False, cluster: int = 0,
-                      stream=None):
-    """Occlusion sweep -> (N,) nearest opaque t (BIG when unblocked)."""
+                      stream=None, tt=None):
+    """Occlusion sweep -> (N,) nearest opaque t (BIG when unblocked).
+
+    ``tt``: optional (N,) per-lane settle threshold (see _kernel_occl).
+    None -> exact nearest-t records. With tt, a lane whose t_opq has
+    dropped below its tt stops driving the packet bound; its returned
+    t_opq is SOME opaque hit t < tt (factor-equivalent, not nearest)."""
     n_clusters = sc.meta.shape[0] // 8
     if stream is None:
         stream = sc.rows.shape[0] * 128 * 4 > _ROWS_VMEM_MAX
     n = o.shape[0]
     sblock, ssub = SBLOCK, _SSUB
     pad = (-n) % sblock
+    if tt is None:
+        tt = jnp.zeros(n, jnp.float32)
+    else:
+        tt = jnp.asarray(tt, jnp.float32)
     if pad:
         o = jnp.concatenate([o, jnp.full((pad, 3), 1.0e9, o.dtype)])
         t_limit = jnp.concatenate([t_limit, jnp.zeros(pad)])
+        tt = jnp.concatenate([tt, jnp.zeros(pad)])
     nb = o.shape[0] // sblock
 
     def comp(x):
         return x.reshape(nb, ssub, 128)
 
     rays = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
-            comp(jnp.asarray(t_limit, jnp.float32))]
+            comp(jnp.asarray(t_limit, jnp.float32)), comp(tt)]
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     rows_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream \
         else pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -614,7 +679,7 @@ def trace_shadow_occl(sc: ShadowClusters, o, t_limit,
         partial(_kernel_occl, n_clusters=n_clusters, cluster=cluster,
                 stream=stream),
         grid=(nb,),
-        in_specs=[smem_spec, smem_spec, rows_spec] + [ray_spec] * 4,
+        in_specs=[smem_spec, smem_spec, rows_spec] + [ray_spec] * 5,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((nb, ssub, 128), jnp.float32),
         scratch_shapes=scratch,
@@ -624,17 +689,37 @@ def trace_shadow_occl(sc: ShadowClusters, o, t_limit,
 
 
 def trace_shadow_split(split: ShadowSplit, o, t_limit, n_slots: int = 4,
-                       interpret: bool = False, alpha_payload: bool = False):
-    """Composed split records — same contract as trace_shadow_clusters."""
-    t_opq = trace_shadow_occl(split.full, o, t_limit, interpret=interpret)
+                       interpret: bool = False, alpha_payload: bool = False,
+                       anyhit: bool = False):
+    """Composed split records — same contract as trace_shadow_clusters.
+
+    ``anyhit``: run the translucent sweep FIRST and feed each lane's
+    nearest translucent t into the occlusion sweep as its settle
+    threshold. A lane whose nearest opaque hit precedes every translucent
+    record has shadow factor exactly 0 no matter what the precise t is
+    (_apply_shadow_records: no translucent record passes t_k < t_opq, so
+    applied = 0 < shadow_layers and the opaque zeroing fires), so the
+    occlusion sweep may stop refining it — in this demo the vast majority
+    of lanes carry no translucent records at all (tt = BIG), making the
+    sweep effectively any-hit: one found occluder settles the lane.
+    Returned t_opq is factor-equivalent but NOT the nearest t for settled
+    lanes; use anyhit=False where the record-level contract matters."""
     n = o.shape[0]
     if split.trans is None:
         ts = jnp.full((n, n_slots), BIG, jnp.float32)
         ids = jnp.full((n, n_slots), -1.0, jnp.float32)
+        tt = jnp.full(n, BIG, jnp.float32) if anyhit else None
+        t_opq = trace_shadow_occl(split.full, o, t_limit,
+                                  interpret=interpret, tt=tt)
         return t_opq, ts, ids
     # recover the trans build's cluster size from shapes (8 tris per row)
     tr_cl = split.trans.rows.shape[0] * 8 // (split.trans.meta.shape[0] // 8)
     _, ts, ids = trace_shadow_clusters(
         split.trans, o, t_limit, n_slots=n_slots, interpret=interpret,
         cluster=tr_cl, alpha_payload=alpha_payload)
+    # slots are maintained ascending: ts[:, 0] is the nearest record
+    # (BIG when the lane has none).
+    tt = ts[:, 0] if anyhit else None
+    t_opq = trace_shadow_occl(split.full, o, t_limit, interpret=interpret,
+                              tt=tt)
     return t_opq, ts, ids

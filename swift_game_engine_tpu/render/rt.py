@@ -127,6 +127,11 @@ _SHADOW_LISTS = bool(knob("SGE_SHADOW_LISTS"))
 # Identical records to the single slotted sweep (measured on one v5e
 # @960x540 demo frame: shadow records pass 64.4 -> ~24 ms).
 _SHADOW_SPLIT = bool(knob("SGE_SHADOW_SPLIT"))
+# Any-hit occlusion sweep (round 5): the split path runs the translucent
+# sweep FIRST and settles an occlusion lane as soon as SOME opaque hit
+# precedes the lane's nearest translucent record — the factor is 0 either
+# way (see trace_shadow_split anyhit=). Factor-exact, record-approximate.
+_SHADOW_ANYHIT = bool(knob("SGE_SHADOW_ANYHIT", 1))
 # Scene-AABB exit bound on shadow-ray t (exact; A/B knob)
 _SHADOW_TEXIT = bool(knob("SGE_SHADOW_TEXIT", 1))
 # Axon-backend workaround (round 4): the cluster-shadow kernels inside the
@@ -806,7 +811,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                     shadow_clusters, o_sh[order], t_lim[order],
                     n_slots=shadow_layers,
                     interpret=jax.default_backend() != "tpu",
-                    alpha_payload=ap)
+                    alpha_payload=ap, anyhit=_SHADOW_ANYHIT)
                 p_sh = o_sh.shape[0]
                 if inv is not None:
                     t_opq, ts, ids = t_s[inv], ts_s[inv], ids_s[inv]
@@ -818,7 +823,7 @@ def _shadow_factor(geo, fg: FrameGeometry, hit_pos, n, light_dir, max_dist,
                 t_opq, ts, ids = trace_shadow_split(
                     shadow_clusters, o_sh, t_lim, n_slots=shadow_layers,
                     interpret=jax.default_backend() != "tpu",
-                    alpha_payload=ap)
+                    alpha_payload=ap, anyhit=_SHADOW_ANYHIT)
             return _apply_shadow_records(geo, fg, o_sh, l, t_opq, ts, ids,
                                          active, max_dist, shadow_layers,
                                          usage, alpha_payload=ap)

@@ -201,6 +201,46 @@ assert np.array_equal(ts_spa, ts_sp)
 sel = ids_sp >= 0
 assert np.allclose(tri_alpha[np.floor(ids_sp[sel]).astype(int)],
                    pay_spa[sel] - 2.0, atol=1e-6)
+
+# ---- any-hit split (round 5): the occlusion sweep may settle a lane as
+# soon as SOME opaque hit precedes its nearest translucent record. The
+# returned t_opq is then not the nearest, but the shadow FACTOR computed
+# from the records (the reference's layer semantics,
+# rt._apply_shadow_records) must be bit-identical.
+t_ah, ts_ah, ids_ah = trace_shadow_split(split, jnp.asarray(o),
+                                         jnp.asarray(t_lim), n_slots=4,
+                                         interpret=True, anyhit=True)
+t_ah = np.asarray(t_ah); ts_ah = np.asarray(ts_ah); ids_ah = np.asarray(ids_ah)
+# translucent slots come from the same sweep -> identical
+assert np.array_equal(ts_ah, ts_sp)
+assert np.array_equal(ids_ah, ids_sp)
+
+def factor(t_o, ts_i, ids_i, tl, layers=4):
+    # rt._apply_shadow_records semantics, max_dist = 50
+    if tl <= 0:
+        return 1.0
+    shadow, applied = 1.0, 0
+    for k in range(layers):
+        if ids_i[k] >= 0 and ts_i[k] < t_o and ts_i[k] < 50.0 \
+                and shadow > 0.02:
+            shadow *= 1.0 - tri_alpha[int(np.floor(ids_i[k]))]
+            applied += 1
+    if t_o < 50.0 and shadow > 0.02 and applied < layers:
+        shadow = 0.0
+    return shadow
+
+n_approx = 0
+for i in range(N):
+    f_exact = factor(t_sp[i], ts_sp[i], ids_sp[i], t_lim[i])
+    f_ah = factor(t_ah[i], ts_ah[i], ids_ah[i], t_lim[i])
+    assert f_exact == f_ah, (i, f_exact, f_ah)
+    if t_ah[i] != t_sp[i]:
+        n_approx += 1
+        # an approximated lane must be genuinely settled: some opaque hit
+        # below its nearest translucent record (BIG when none)
+        assert t_ah[i] < min(ts_sp[i][0], t_lim[i]), i
+        assert t_sp[i] <= t_ah[i], i
+print("anyhit approx lanes:", n_approx)
 print("OK")
 """
 
